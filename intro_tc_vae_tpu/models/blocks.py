@@ -1,0 +1,191 @@
+"""Conv block architectures ('conv' | 'res' | 'inception'), NHWC flax.linen.
+
+Topology parity with the reference models.py:8-193. Differences that are
+deliberate TPU-first redesign, not omissions:
+
+* NHWC layout (XLA/TPU's native conv layout) instead of torch NCHW.
+* BatchNorm is an explicit ``batch_stats`` collection threaded through the
+  solver train steps (the reference relies on nn.Module mutable state);
+  momentum 0.9 here == torch momentum 0.1 (flax keeps `m*old + (1-m)*new`).
+* The reference's ``ConvolutionalBlock`` allocates a ``conv_expand`` that
+  its forward never uses (dead parameters, models.py:15-26); we do not
+  allocate dead parameters.
+* ``inc is not outc`` identity-vs-equality quirks in the reference are
+  normalized to ``inc != outc``.
+
+eps values match as-executed: 1e-4 on conv/inception-path BNs
+(models.py:13,37,48,130), torch default 1e-5 on ResidualBlock BNs
+(models.py:91,102).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from intro_tc_vae_tpu.models.init import torch_bias_init, torch_kernel_init
+
+LEAKY_SLOPE = 0.2
+
+
+def leaky_relu(x):
+    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+def conv(out_ch: int, kernel: int, *, use_bias: bool = False, in_ch: int | None = None,
+         dtype: Any = None, name: str | None = None) -> nn.Conv:
+    """3x3/5x5/1x1 'SAME' conv with torch-default init (stride 1)."""
+    kwargs = {}
+    if use_bias:
+        assert in_ch is not None, "bias init needs fan_in"
+        kwargs["bias_init"] = torch_bias_init(in_ch * kernel * kernel)
+    return nn.Conv(
+        out_ch,
+        (kernel, kernel),
+        strides=(1, 1),
+        padding="SAME",
+        use_bias=use_bias,
+        kernel_init=torch_kernel_init("conv"),
+        dtype=dtype,
+        name=name,
+        **kwargs,
+    )
+
+
+def batch_norm(train: bool, *, eps: float = 1e-5, dtype: Any = None,
+               name: str | None = None) -> nn.BatchNorm:
+    """BatchNorm matching torch semantics (momentum 0.1 torch == 0.9 flax)."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=eps,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def avg_pool2(x):
+    """AvgPool2d(2) equivalent (window 2, stride 2, NHWC)."""
+    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def upsample_nearest2(x):
+    """nn.Upsample(scale_factor=2, mode='nearest') equivalent, NHWC."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class ConvolutionalBlock(nn.Module):
+    """Plain double-conv block (reference models.py:8-54): no skip path.
+
+    conv3x3 -> BN(1e-4) -> LReLU -> conv3x3 -> BN(1e-4) -> LReLU.
+    """
+
+    inc: int
+    outc: int
+    scale: float = 1.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        midc = int(self.outc * self.scale)
+        y = conv(midc, 3, dtype=self.dtype, name="conv1")(x)
+        y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="bn1")(y)
+        y = leaky_relu(y)
+        y = conv(self.outc, 3, dtype=self.dtype, name="conv2")(y)
+        y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="bn2")(y)
+        return leaky_relu(y)
+
+
+class ResidualBlock(nn.Module):
+    """Pre-BN residual block (reference models.py:57-115, after hhb072/IntroVAE).
+
+    identity = x (or 1x1 conv_expand when inc != outc);
+    out = LReLU(BN(conv3x3(LReLU(BN(conv3x3(x))))) + identity).
+    BN uses torch-default eps 1e-5 here (the reference passes no eps).
+    """
+
+    inc: int
+    outc: int
+    scale: float = 1.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        midc = int(self.outc * self.scale)
+        if self.inc != self.outc:
+            identity = conv(self.outc, 1, dtype=self.dtype, name="conv_expand")(x)
+        else:
+            identity = x
+        y = conv(midc, 3, dtype=self.dtype, name="conv1")(x)
+        y = batch_norm(train, dtype=self.dtype, name="bn1")(y)
+        y = leaky_relu(y)
+        y = conv(self.outc, 3, dtype=self.dtype, name="conv2")(y)
+        y = batch_norm(train, dtype=self.dtype, name="bn2")(y)
+        return leaky_relu(y + identity)
+
+
+class Conv2dBatchNorm(nn.Module):
+    """conv -> BN(1e-4) -> LReLU helper (reference models.py:118-138)."""
+
+    inc: int
+    outc: int
+    kernel: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        y = conv(self.outc, self.kernel, dtype=self.dtype, name="conv")(x)
+        y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="batch_norm")(y)
+        return leaky_relu(y)
+
+
+class InceptionResnetBlock(nn.Module):
+    """Two-branch 1x1 inception block with residual add (models.py:141-182).
+
+    branch_0: 1x1 -> outc/2;  branch_1: 1x1 -> midc -> 1x1 -> outc/2;
+    concat -> 1x1 conv (with bias) -> + identity -> LReLU.
+    """
+
+    inc: int
+    outc: int
+    scale: float = 1.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert self.outc % 2 == 0
+        midc = int(self.outc * self.scale)
+        if self.inc != self.outc:
+            identity = conv(self.outc, 1, dtype=self.dtype, name="conv_expand")(x)
+        else:
+            identity = x
+        x0 = Conv2dBatchNorm(self.inc, self.outc // 2, dtype=self.dtype, name="branch_0")(
+            x, train
+        )
+        x1 = Conv2dBatchNorm(self.inc, midc, dtype=self.dtype, name="branch_1_0")(x, train)
+        x1 = Conv2dBatchNorm(midc, self.outc // 2, dtype=self.dtype, name="branch_1_1")(
+            x1, train
+        )
+        y = jnp.concatenate([x0, x1], axis=-1)
+        y = conv(self.outc, 1, use_bias=True, in_ch=self.outc, dtype=self.dtype,
+                 name="conv")(y)
+        return leaky_relu(y + identity)
+
+
+_BLOCKS = {
+    "conv": ConvolutionalBlock,
+    "res": ResidualBlock,
+    "inception": InceptionResnetBlock,
+}
+
+
+def get_conv_class(arch: str):
+    """Block class for an architecture string (reference models.py:185-193)."""
+    try:
+        return _BLOCKS[arch]
+    except KeyError:
+        raise ValueError(f"unknown arch '{arch}' (expected one of {list(_BLOCKS)})")

@@ -1,0 +1,448 @@
+"""Solver core: train state, optimizers, loss terms, and the host-side
+``VAESolver`` wrapper (observability + evaluation hooks).
+
+Design (vs reference solvers/vae.py):
+
+* All per-step math lives in pure jitted functions built once at solver
+  construction (``build_step``); the host class only dispatches, converts
+  metrics for TensorBoard, and runs the (host-side, sklearn-based)
+  disentanglement metrics off the device's critical path.
+* The two torch optimizers (train.py:143-144) are two optax states over
+  the ``params['encoder']`` / ``params['decoder']`` subtrees.
+* PRNG is explicit: ``TrainState.rng`` is split every step.
+* NaN handling: the step returns loss scalars; the host raises
+  RuntimeError on non-finite loss like the reference (solvers/vae.py:112).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from intro_tc_vae_tpu import ops
+
+
+# ---------------------------------------------------------------------------
+# state + hyperparameters
+# ---------------------------------------------------------------------------
+
+class TrainState(flax.struct.PyTreeNode):
+    """All device-resident mutable training state (a single pytree)."""
+
+    step: jax.Array
+    params: Any            # {'encoder': ..., 'decoder': ...}
+    batch_stats: Any       # {'encoder': ..., 'decoder': ...}
+    opt_state_e: Any
+    opt_state_d: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverHyper:
+    """Static (trace-time) solver hyperparameters."""
+
+    recon_loss_type: str = "mse"
+    beta_kl: float = 1.0
+    beta_rec: float = 1.0
+    beta_neg: float = 1.0
+    gamma_r: float = 1e-8
+    scale: float = 1.0              # 1 / (cdim * image_size^2), vae.py:61
+    dataset_size: int = 1
+    kl_kind: str = "gaussian"       # 'gaussian' | 'tc'
+    tc_impl: str = "xla"            # 'xla' | 'pallas'
+    clip: Optional[float] = None
+    zdim: int = 32
+
+
+_OPTIMIZERS = {
+    "adam": optax.adam,
+    "adamw": optax.adamw,
+    "adagrad": optax.adagrad,
+    "adadelta": optax.adadelta,
+    "sgd": optax.sgd,
+    "rmsprop": optax.rmsprop,
+    "lamb": optax.lamb,
+    "lion": optax.lion,
+}
+
+
+def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
+    """Optimizer by name — the reference resolves any torch.optim class by
+    name (train.py:141); we resolve optax transforms case-insensitively."""
+    key = name.lower()
+    if key not in _OPTIMIZERS:
+        raise ValueError(f"unknown optimizer '{name}' (known: {sorted(_OPTIMIZERS)})")
+    return _OPTIMIZERS[key](lr)
+
+
+# ---------------------------------------------------------------------------
+# loss terms
+# ---------------------------------------------------------------------------
+
+def kl_term(h: SolverHyper, z, mu, logvar, reduce: str = "mean", beta=None):
+    """KL term with solver-dependent composition.
+
+    'gaussian' (vae/intro): beta * KL             (solvers/vae.py:63-77)
+    'tc' (tc/intro_tc):     (beta-1)*TC + KL      (solvers/tc.py:69-89)
+    """
+    if beta is None:
+        beta = h.beta_kl
+    kl = ops.kl_divergence(logvar, mu, reduce=reduce)
+    if h.kl_kind == "gaussian":
+        return beta * kl, kl
+    tc = ops.total_correlation(
+        z, mu, logvar, h.dataset_size, reduce=reduce, impl=h.tc_impl
+    )
+    return (beta - 1.0) * tc + kl, kl
+
+
+def rec_term(h: SolverHyper, x, recon_x, reduction: str = "sum", beta=None):
+    """beta_rec-weighted reconstruction loss (solvers/vae.py:79-87)."""
+    if beta is None:
+        beta = h.beta_rec
+    return beta * ops.reconstruction_loss(x, recon_x, h.recon_loss_type, reduction)
+
+
+def global_norm(tree) -> jax.Array:
+    return optax.global_norm(tree)
+
+
+def clip_by_global_norm(tree, max_norm: float):
+    """torch.nn.utils.clip_grad_norm_ semantics; returns (clipped, pre-norm)."""
+    norm = global_norm(tree)
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, tree), norm
+
+
+# ---------------------------------------------------------------------------
+# model application helpers (explicit batch_stats threading)
+# ---------------------------------------------------------------------------
+
+def encode(encoder, params_e, stats_e, x, train: bool = True):
+    """Run the encoder, returning (mu, logvar, updated_batch_stats)."""
+    (mu, logvar), upd = encoder.apply(
+        {"params": params_e, "batch_stats": stats_e}, x, train,
+        mutable=["batch_stats"],
+    )
+    return mu, logvar, upd["batch_stats"]
+
+
+def decode(decoder, params_d, stats_d, z, train: bool = True):
+    """Run the decoder, returning (image, updated_batch_stats)."""
+    y, upd = decoder.apply(
+        {"params": params_d, "batch_stats": stats_d}, z, train,
+        mutable=["batch_stats"],
+    )
+    return y, upd["batch_stats"]
+
+
+# ---------------------------------------------------------------------------
+# host-side solver wrapper
+# ---------------------------------------------------------------------------
+
+class VAESolver:
+    """Vanilla ELBO solver (reference solvers/vae.py:26-136) + the shared
+    observability/evaluation surface inherited by all solvers.
+
+    ``build_step`` is overridden by subclasses to swap the jitted step.
+    """
+
+    kl_kind = "gaussian"
+
+    def __init__(
+        self,
+        *,
+        dataset,
+        encoder,
+        decoder,
+        batch_size: int,
+        optimizer_e: optax.GradientTransformation,
+        optimizer_d: optax.GradientTransformation,
+        recon_loss_type: str = "mse",
+        beta_kl: float = 1.0,
+        beta_rec: float = 1.0,
+        beta_neg: float = 1.0,
+        gamma_r: float = 1e-8,
+        writer=None,
+        test_iter: int = 1000,
+        clip: Optional[float] = None,
+        tc_impl: str = "xla",
+        mesh=None,
+        batch_sharding=None,
+    ):
+        self.dataset = dataset
+        self.encoder = encoder
+        self.decoder = decoder
+        self.batch_size = batch_size
+        self.optimizer_e = optimizer_e
+        self.optimizer_d = optimizer_d
+        self.writer = writer
+        self.test_iter = test_iter
+        self.mesh = mesh
+        self.batch_sharding = batch_sharding
+
+        image_size = encoder.image_size
+        cdim = encoder.cdim
+        self.hyper = SolverHyper(
+            recon_loss_type=recon_loss_type,
+            beta_kl=beta_kl,
+            beta_rec=beta_rec,
+            beta_neg=beta_neg,
+            gamma_r=gamma_r,
+            scale=1.0 / (cdim * image_size**2),
+            dataset_size=len(dataset) if dataset is not None else 1,
+            kl_kind=self.kl_kind,
+            tc_impl=tc_impl,
+            clip=clip,
+            zdim=encoder.zdim,
+        )
+
+        self.latent_generator = None
+        if dataset is not None and hasattr(dataset, "latent_indices"):
+            from intro_tc_vae_tpu.evaluation.generator import LatentGenerator
+
+            self.latent_generator = LatentGenerator(dataset)
+
+        self._step_fn = jax.jit(self.build_step(), donate_argnums=(0,))
+        self._eval_encode = None
+
+    # -- construction -----------------------------------------------------
+
+    def build_step(self) -> Callable:
+        from intro_tc_vae_tpu.solvers.vae import build_vae_step
+
+        return build_vae_step(
+            self.hyper, self.encoder, self.decoder,
+            self.optimizer_e, self.optimizer_d,
+        )
+
+    def init_state(self, rng: jax.Array, sample_batch) -> TrainState:
+        """Initialize params/batch_stats/optimizer states."""
+        k_e, k_d, k_run = jax.random.split(rng, 3)
+        enc_vars = self.encoder.init({"params": k_e}, sample_batch[:1], True)
+        dec_vars = self.decoder.init(
+            {"params": k_d}, jnp.zeros((1, self.hyper.zdim)), True
+        )
+        params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
+        batch_stats = {
+            "encoder": enc_vars.get("batch_stats", {}),
+            "decoder": dec_vars.get("batch_stats", {}),
+        }
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state_e=self.optimizer_e.init(params["encoder"]),
+            opt_state_d=self.optimizer_d.init(params["decoder"]),
+            rng=k_run,
+        )
+
+    # -- hot loop ---------------------------------------------------------
+
+    def train_step(self, state: TrainState, batch, cur_iter: int):
+        """One optimization step. Returns (new_state, metrics dict).
+
+        Metric values stay on device; they are fetched lazily by the train
+        loop (one-step-behind async fetch) to keep the device pipeline full.
+        """
+        new_state, metrics = self._step_fn(state, batch)
+
+        if self.writer is not None:
+            self._write_step_metrics(new_state, batch, metrics, cur_iter)
+        return new_state, metrics
+
+    def check_finite(self, metrics):
+        """Raise RuntimeError on NaN loss (reference solvers/vae.py:112-113)."""
+        for name in ("loss_enc", "loss_dec"):
+            if name in metrics and not np.isfinite(float(metrics[name])):
+                raise RuntimeError(f"non-finite {name}: {metrics[name]}")
+
+    # -- observability ----------------------------------------------------
+
+    def _write_step_metrics(self, state, batch, metrics, cur_iter: int):
+        losses = dict(
+            r_loss=float(metrics["loss_rec"]),
+            kl_loss=float(metrics["loss_kl"]),
+        )
+        if "expelbo_f" in metrics:
+            losses["expelbo_f"] = float(metrics["expelbo_f"])
+        self.write_scalars(cur_iter, losses)
+        for tag in ("kl_loss_unscaled", "r_loss_unscaled", "lossE", "lossD",
+                    "diff_kl", "fc_grad_norm"):
+            if tag in metrics:
+                self.writer.add_scalar(tag, float(metrics[tag]), global_step=cur_iter)
+        if self.hyper.clip and "total_norm" in metrics:
+            self.writer.add_scalar(
+                "total_norm", float(metrics["total_norm"]), global_step=cur_iter
+            )
+        self._write_images_helper(state, batch, cur_iter)
+        self.write_disentanglemnt_scores(state, cur_iter)
+        self.writer.flush()
+
+    def write_scalars(self, cur_iter: int, losses: dict, **kwargs):
+        if self.writer is not None:
+            self.writer.add_scalars("losses", losses, global_step=cur_iter)
+            for name, value in kwargs.items():
+                self.writer.add_scalar(name, value, global_step=cur_iter)
+
+    def _write_images_helper(self, state, batch, cur_iter: int):
+        if self.writer is None or cur_iter % self.test_iter != 0:
+            return
+        key = jax.random.fold_in(jax.random.key(0), cur_iter)
+        noise = jax.random.normal(key, (batch.shape[0], self.hyper.zdim))
+        fake, _ = decode(
+            self.decoder, state.params["decoder"], state.batch_stats["decoder"],
+            noise, train=False,
+        )
+        self.write_images(state, batch, fake, cur_iter)
+
+    def write_images(self, state, batch, fake_batch, cur_iter: int):
+        """Real / deterministic-reconstruction / sampled grids to TB
+        (reference solvers/vae.py:147-163)."""
+        if self.writer is None or cur_iter % self.test_iter != 0:
+            return
+        mu, _, _ = encode(
+            self.encoder, state.params["encoder"], state.batch_stats["encoder"],
+            batch, train=False,
+        )
+        rec_det, _ = decode(
+            self.decoder, state.params["decoder"], state.batch_stats["decoder"],
+            mu, train=False,
+        )
+        n = min(batch.shape[0], 16)
+        grid = np.concatenate(
+            [np.asarray(batch[:n]), np.asarray(rec_det[:n]), np.asarray(fake_batch[:n])],
+            axis=0,
+        )
+        # NHWC -> NCHW for tensorboard add_images
+        self.writer.add_images(
+            "reconstructions", grid.transpose(0, 3, 1, 2), global_step=cur_iter
+        )
+
+    def write_disentanglemnt_scores(self, state, cur_iter: int, num_samples: int = 10000):
+        """Four disentanglement metric families (reference vae.py:188-213).
+
+        Name spelled as in the reference API (quirk Q9).
+        """
+        if (
+            self.writer is None
+            or self.latent_generator is None
+            or cur_iter % self.test_iter != 0
+        ):
+            return
+        from intro_tc_vae_tpu.evaluation import metrics as em
+
+        if len(self.dataset) < num_samples:
+            num_samples = len(self.dataset) // 2
+        encode_fn = self.make_eval_encoder(state)
+        kwargs = dict(
+            latent_generator=self.latent_generator,
+            encode_fn=encode_fn,
+            num_samples=num_samples,
+            batch_size=self.batch_size,
+        )
+        em.write_bvae_score(self.writer, cur_iter, **kwargs)
+        em.write_dci_score(self.writer, cur_iter, **kwargs)
+        em.write_mig_score(self.writer, cur_iter, **kwargs)
+        em.write_mod_expl_score(self.writer, cur_iter, **kwargs)
+
+    def make_eval_encoder(self, state) -> Callable:
+        """Jitted eval-mode encode: images -> (mu, logvar) numpy."""
+        if self._eval_encode is None:
+            @jax.jit
+            def _enc(params_e, stats_e, x):
+                (mu, logvar), _ = self.encoder.apply(
+                    {"params": params_e, "batch_stats": stats_e}, x, False,
+                    mutable=[],
+                )
+                return mu, logvar
+
+            self._eval_encode = _enc
+
+        def encode_fn(x):
+            mu, logvar = self._eval_encode(
+                state.params["encoder"], state.batch_stats["encoder"], jnp.asarray(x)
+            )
+            return np.asarray(mu), np.asarray(logvar)
+
+        return encode_fn
+
+    def write_gradient_flow(self, state, batch, cur_iter: int):
+        """Per-layer |grad| mean/max bar chart (reference vae.py:215-254).
+
+        Recomputed on demand (only every test_iter) so the hot step never
+        pays for per-layer stats.
+        """
+        if self.writer is None or cur_iter % self.test_iter != 0:
+            return
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        h, enc, dec = self.hyper, self.encoder, self.decoder
+
+        @jax.jit
+        def grads_of(state, batch):
+            def loss_fn(params):
+                key = jax.random.fold_in(state.rng, 12345)
+                mu, logvar, _ = encode(enc, params["encoder"],
+                                       state.batch_stats["encoder"], batch)
+                z = ops.reparameterize(key, mu, logvar)
+                rec, _ = decode(dec, params["decoder"],
+                                state.batch_stats["decoder"], z)
+                l_rec = rec_term(h, batch, rec, reduction="mean")
+                l_kl, _ = kl_term(h, z, mu, logvar)
+                return h.scale * (l_rec + l_kl)
+
+            return jax.grad(loss_fn)(state.params)
+
+        grads = grads_of(state, batch)
+        flat = flax.traverse_util.flatten_dict(grads, sep="/")
+        layers, ave, mx = [], [], []
+        for name, g in flat.items():
+            if name.endswith("bias"):
+                continue
+            layers.append(name)
+            g = np.abs(np.asarray(g))
+            ave.append(g.mean())
+            mx.append(g.max())
+        fig, ax = plt.subplots(figsize=(12, 4))
+        ax.bar(np.arange(len(mx)), mx, alpha=0.3, lw=1, color="c", label="max-gradient")
+        ax.bar(np.arange(len(ave)), ave, alpha=0.3, lw=1, color="b", label="mean-gradient")
+        ax.set_xticks(range(len(layers)))
+        ax.set_xticklabels(layers, rotation="vertical", fontsize=4)
+        ax.set_ylim(bottom=-0.001, top=0.02)
+        ax.set_xlabel("Layers")
+        ax.set_ylabel("average gradient")
+        ax.set_title("Gradient flow")
+        ax.legend()
+        fig.tight_layout()
+        self.writer.add_figure("gradient_flow", fig, global_step=cur_iter)
+        plt.close(fig)
+
+
+def make_solver(name: str, **kwargs) -> VAESolver:
+    """Solver factory; accepts 'vae' | 'tc' | 'intro' | 'intro-tc'/'intro_tc'
+    (reference train.py:179-192 + BASELINE.json naming)."""
+    from intro_tc_vae_tpu.solvers.intro import IntroSolver
+    from intro_tc_vae_tpu.solvers.intro_tc import IntroTCSolver
+    from intro_tc_vae_tpu.solvers.tc import TCSolver
+
+    solvers = {
+        "vae": VAESolver,
+        "tc": TCSolver,
+        "intro": IntroSolver,
+        "intro-tc": IntroTCSolver,
+        "intro_tc": IntroTCSolver,
+    }
+    if name not in solvers:
+        raise ValueError(f"Solver '{name}' not supported! (known: {sorted(solvers)})")
+    return solvers[name](**kwargs)

@@ -1,0 +1,158 @@
+"""Model zoo tests: shapes, arch dispatch, BN statefulness, torch parity.
+
+Param-count parity vs the torch reference is checked for the 'res' arch
+(identical topology). 'conv' differs deliberately: the reference allocates
+a conv_expand its forward never uses (dead params, models.py:15-26).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intro_tc_vae_tpu.models import (
+    ConvolutionalBlock,
+    Decoder,
+    Encoder,
+    InceptionResnetBlock,
+    ResidualBlock,
+    SoftIntroVAE,
+    get_conv_class,
+)
+from intro_tc_vae_tpu.models.vae import conv_output_size, num_params
+
+UKIYO64 = dict(cdim=3, zdim=128, channels=(64, 128, 256, 512), image_size=64)
+
+
+def init_model(model, x_shape, rngs=None):
+    rngs = rngs or {"params": jax.random.key(0), "reparam": jax.random.key(1)}
+    x = jnp.zeros(x_shape)
+    return model.init(rngs, x)
+
+
+class TestBlocks:
+    @pytest.mark.parametrize("arch,cls", [
+        ("conv", ConvolutionalBlock),
+        ("res", ResidualBlock),
+        ("inception", InceptionResnetBlock),
+    ])
+    def test_get_conv_class(self, arch, cls):
+        assert get_conv_class(arch) is cls
+
+    def test_unknown_arch_raises(self):
+        with pytest.raises(ValueError):
+            get_conv_class("transformer")
+
+    @pytest.mark.parametrize("cls", [ConvolutionalBlock, ResidualBlock, InceptionResnetBlock])
+    @pytest.mark.parametrize("inc,outc", [(8, 8), (8, 16)])
+    def test_block_shapes(self, cls, inc, outc):
+        block = cls(inc=inc, outc=outc)
+        x = jnp.ones((2, 16, 16, inc))
+        variables = block.init(jax.random.key(0), x)
+        y, new_state = block.apply(variables, x, True, mutable=["batch_stats"])
+        assert y.shape == (2, 16, 16, outc)
+        assert "batch_stats" in new_state
+
+
+class TestEncoderDecoder:
+    def test_conv_output_size_static(self):
+        assert conv_output_size(64, (64, 128, 256, 512)) == (4, 4, 512)
+        assert conv_output_size(128, (64, 128, 256, 512, 512)) == (4, 4, 512)
+        assert conv_output_size(256, (64, 128, 256, 512, 512, 512)) == (4, 4, 512)
+
+    def test_conv_output_size_too_small_raises(self):
+        with pytest.raises(ValueError):
+            conv_output_size(16, (64, 128, 256, 512, 512))
+
+    @pytest.mark.parametrize("arch", ["conv", "res", "inception"])
+    def test_encoder_shapes(self, arch):
+        enc = Encoder(arch=arch, **UKIYO64)
+        variables = init_model(enc, (2, 64, 64, 3))
+        (mu, logvar), _ = enc.apply(variables, jnp.ones((2, 64, 64, 3)), True,
+                                    mutable=["batch_stats"])
+        assert mu.shape == (2, 128) and logvar.shape == (2, 128)
+
+    @pytest.mark.parametrize("arch", ["conv", "res", "inception"])
+    def test_decoder_shapes(self, arch):
+        dec = Decoder(arch=arch, **UKIYO64)
+        variables = init_model(dec, (2, 128))
+        y, _ = dec.apply(variables, jnp.ones((2, 128)), True, mutable=["batch_stats"])
+        assert y.shape == (2, 64, 64, 3)
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0  # sigmoid head
+
+
+class TestSoftIntroVAE:
+    def test_forward_shapes_and_determinism(self):
+        model = SoftIntroVAE(arch="res", **UKIYO64)
+        variables = init_model(model, (2, 64, 64, 3))
+        x = jnp.ones((2, 64, 64, 3)) * 0.5
+        (mu, logvar, z, rec), _ = model.apply(
+            variables, x, True, True, mutable=["batch_stats"],
+            rngs={"reparam": jax.random.key(2)},
+        )
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(mu))  # deterministic
+        assert rec.shape == x.shape
+
+        (_, _, z2, _), _ = model.apply(
+            variables, x, False, True, mutable=["batch_stats"],
+            rngs={"reparam": jax.random.key(2)},
+        )
+        assert not np.allclose(np.asarray(z2), np.asarray(mu))  # sampled
+
+    def test_bn_stats_update_in_train_not_eval(self):
+        model = SoftIntroVAE(arch="res", **UKIYO64)
+        variables = init_model(model, (2, 64, 64, 3))
+        x = jnp.ones((2, 64, 64, 3)) * 0.3
+
+        _, upd = model.apply(variables, x, True, True, mutable=["batch_stats"],
+                             rngs={"reparam": jax.random.key(0)})
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(upd["batch_stats"])
+        assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+        # eval mode: no batch_stats mutation needed
+        out = model.apply(variables, x, True, False,
+                          rngs={"reparam": jax.random.key(0)})
+        assert out[3].shape == x.shape
+
+    def test_encode_decode_methods(self):
+        model = SoftIntroVAE(arch="res", **UKIYO64)
+        variables = init_model(model, (2, 64, 64, 3))
+        x = jnp.ones((2, 64, 64, 3)) * 0.5
+        (mu, logvar), _ = model.apply(variables, x, False, mutable=["batch_stats"],
+                                      method=SoftIntroVAE.encode)
+        y, _ = model.apply(variables, mu, False, mutable=["batch_stats"],
+                           method=SoftIntroVAE.decode)
+        assert y.shape == x.shape
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference repo not mounted"
+)
+class TestTorchParity:
+    def test_res_param_count_matches_reference(self):
+        """'res' arch: parameter count must equal the torch reference model."""
+        import sys
+
+        import torch  # noqa: F401
+
+        sys.path.insert(0, "/root/reference")
+        try:
+            try:
+                import models as ref_models
+            except ImportError as e:  # 'from black import out' quirk Q6
+                pytest.skip(f"reference models.py unimportable: {e}")
+            ref = ref_models.SoftIntroVAE(
+                arch="res", cdim=3, zdim=128, channels=[64, 128, 256, 512],
+                image_size=64,
+            )
+            ref_count = sum(p.numel() for p in ref.parameters() if p.requires_grad)
+        finally:
+            sys.path.remove("/root/reference")
+
+        model = SoftIntroVAE(arch="res", **UKIYO64)
+        variables = init_model(model, (1, 64, 64, 3))
+        ours = num_params(variables["params"])
+        assert ours == ref_count, f"param count {ours} != reference {ref_count}"
