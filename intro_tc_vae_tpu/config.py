@@ -1,0 +1,93 @@
+"""Run configuration: dataclass defaults <- JSON file <- inline update dict.
+
+Parity surface of reference config.py:7-72 (same 23 fields, same merge
+order, same CLI contract) plus TPU-native knobs (precision, tc_impl,
+mesh/data-parallel shape, data_root). Reference configs load unchanged;
+unknown keys raise (same as dataclass arity errors there).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass
+class Config:
+    # --- reference fields (config.py:7-36) ---
+    solver: str = None
+    dataset: str = None
+    arch: str = "res"
+    optimizer: str = "adam"
+    recon_loss_type: str = "mse"
+    device: int = -1            # kept for config compat; JAX picks devices
+
+    lr: float = 2e-4
+    batch_size: int = 128
+    num_epochs: int = 200
+    seed: int = -1
+
+    z_dim: int = 32
+    beta_rec: float = 1.0
+    beta_kl: float = 1.0
+    beta_neg: float = 1.0
+    gamma_r: float = 1e-8
+
+    use_tensorboard: bool = False
+    use_amp: bool = True        # bf16 compute on TPU (reference AMP was a no-op, Q1)
+    profile: bool = False
+    clip: Optional[float] = None
+    anomaly_detection: bool = False
+
+    num_workers: int = 2        # host prefetch depth
+    save_interval: int = 100
+    start_epoch: int = 0
+    test_iter: int = 5000
+
+    # --- TPU-native extensions ---
+    precision: str = "fp32"     # 'fp32' | 'bf16' compute dtype for the model
+    tc_impl: str = "xla"        # 'xla' | 'blockwise' | 'pallas' TC kernel
+    kl_kind: Optional[str] = None  # override: 'gaussian' | 'tc' | 'tc_full'
+    data_parallel: int = 0      # 0 = all local devices; N = mesh size
+    data_root: Optional[str] = None
+    checkpoint_dir: str = "./saves"
+    log_dir: Optional[str] = None
+    resume: Optional[str] = None  # checkpoint path to resume from (fixes Q12)
+
+    def fingerprint(self) -> str:
+        """Checkpoint filename prefix — same hparam encoding as the
+        reference (train.py:200)."""
+        return (
+            f"{self.solver}_{self.dataset}_betas_{self.beta_kl}_{self.beta_neg}_"
+            f"{self.beta_rec}_{self.gamma_r}_zdim_{self.z_dim}_{self.arch}_"
+            f"{self.optimizer}"
+        )
+
+    def run_comment(self) -> str:
+        """TensorBoard run-name suffix (reference train.py:96)."""
+        return (
+            f"_{self.solver}_{self.dataset}_z{self.z_dim}_{self.beta_kl}_"
+            f"{self.beta_neg}_{self.beta_rec}_{self.gamma_r}_{self.arch}_"
+            f"{self.optimizer}"
+        )
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(Config)}
+
+
+def load_config(path: Optional[str] = None, update_dict: Optional[dict] = None) -> Config:
+    """defaults <- JSON file <- update dict (reference config.py:66-72)."""
+    c: dict = {}
+    if path:
+        if not os.path.isabs(path):
+            path = os.path.abspath(path)
+        with open(path) as f:
+            c.update(json.load(f))
+    c.update(update_dict or {})
+    unknown = set(c) - _FIELD_NAMES
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return Config(**c)

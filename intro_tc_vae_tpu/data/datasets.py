@@ -1,0 +1,411 @@
+"""Datasets: dSprites, MPI3D (+ small variants), Ukiyo-E faces, Synthetic.
+
+Parity surface of reference dataset.py:30-288 with TPU-first changes:
+
+* numpy array storage + a vectorized ``get_batch(indices)`` fast path
+  (no per-item PIL/ToTensor in the hot loop for array-backed datasets),
+* images are float32 NHWC in [0, 1],
+* MPI3D defines __len__ (fixing reference quirk Q5, dataset.py:40-89),
+* a procedural ``Synthetic`` disentanglement dataset so tests, benchmarks
+  and metric code run without any downloads.
+
+Factor bookkeeping (latent_indices / factor_sizes / index<->factor
+decomposition by factor bases) matches the reference so the evaluation
+metrics are interchangeable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from intro_tc_vae_tpu.data.image import load_image
+
+
+class DisentanglementDataset:
+    """ABC: a dataset whose images are generated from ground-truth factors.
+
+    Reference: dataset.py:30-37.
+    """
+
+    @property
+    def latent_indices(self) -> List[int]:
+        raise NotImplementedError
+
+    @property
+    def factor_sizes(self) -> List[int]:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, index: int):
+        raise NotImplementedError
+
+    def get_batch(self, indices: np.ndarray) -> np.ndarray:
+        """Vectorized image gather -> float32 [B, H, W, C]."""
+        return np.stack([self[i][0] for i in np.asarray(indices)], axis=0)
+
+
+def factor_bases(sizes: Sequence[int]) -> np.ndarray:
+    """Mixed-radix place values: bases[k] = prod(sizes)/cumprod(sizes)[k]."""
+    sizes = np.asarray(sizes)
+    return (np.prod(sizes) / np.cumprod(sizes)).astype(np.int64)
+
+
+def index_to_factor(idx, bases, sizes) -> np.ndarray:
+    """Flat dataset index -> factor tuple (mixed-radix decomposition)."""
+    return np.mod(np.floor_divide(np.asarray(idx)[..., None], bases), sizes)
+
+
+def get_spaced_elements(arr: np.ndarray, n: int) -> np.ndarray:
+    """n evenly spaced values from the unique values of arr
+    (reference dataset.py:164-176)."""
+    unique_values = np.unique(arr)
+    idx = np.round(np.linspace(0, len(unique_values) - 1, n)).astype(int)
+    return unique_values[idx]
+
+
+class _ArrayDataset(DisentanglementDataset):
+    """Shared implementation for npz-array-backed factor datasets."""
+
+    def __init__(self, imgs: np.ndarray, latents_values: np.ndarray, resize: int = 64):
+        self.imgs = imgs  # uint8 [N, H, W] or [N, H, W, C]
+        self.latents_values = latents_values
+        self.resize = resize
+
+    def __len__(self) -> int:
+        return len(self.imgs)
+
+    def _to_float(self, img: np.ndarray) -> np.ndarray:
+        arr = img.astype(np.float32)
+        if arr.max() > 1.0:
+            arr = arr / 255.0
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if self.resize != arr.shape[0]:
+            from PIL import Image
+
+            pil = Image.fromarray(np.squeeze(img))
+            pil = pil.resize((self.resize, self.resize), Image.BICUBIC)
+            arr = np.asarray(pil, dtype=np.float32)
+            if arr.max() > 1.0:
+                arr = arr / 255.0
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+        return arr
+
+    def __getitem__(self, index: int):
+        return self._to_float(self.imgs[index]), self.latents_values[index]
+
+    def get_batch(self, indices: np.ndarray) -> np.ndarray:
+        indices = np.asarray(indices)
+        from intro_tc_vae_tpu.runtime import gather, gather_normalize, resize_bicubic
+
+        if self.imgs.dtype == np.uint8:
+            arr = gather_normalize(self.imgs, indices)  # native parallel gather
+        else:
+            arr = gather(self.imgs.astype(np.float32, copy=False), indices)
+            if arr.max() > 1.0:
+                arr = arr / 255.0
+        if arr.ndim == 3:
+            arr = arr[..., None]
+        if self.resize != arr.shape[1]:
+            arr = resize_bicubic(arr, self.resize, self.resize)
+        return arr
+
+
+class DSprites(_ArrayDataset):
+    """dSprites (64x64 binary sprites; factors [1,3,6,40,32,32]).
+
+    Reference: dataset.py:131-162. Loads
+    dsprites_ndarray_co1sh3sc6or40x32y32_64x64.npz from ``data_root``.
+    """
+
+    def __init__(self, arr, resize: int = 64):
+        imgs = arr["imgs"] * np.uint8(255)
+        super().__init__(imgs, arr["latents_values"], resize)
+
+    @property
+    def latent_indices(self) -> List[int]:
+        return [1, 2, 3, 4, 5]
+
+    @property
+    def factor_sizes(self) -> List[int]:
+        return [1, 3, 6, 40, 32, 32]
+
+    @classmethod
+    def load_data(cls, resize: int = 64, data_root: str | None = None):
+        data_root = data_root or os.path.expanduser("~/dsprites-dataset")
+        arr = np.load(
+            os.path.join(data_root, "dsprites_ndarray_co1sh3sc6or40x32y32_64x64.npz")
+        )
+        return cls(arr, resize=resize)
+
+
+class DSpritesSmall(DSprites):
+    """dSprites subsampled to factors [1,3,6,4,10,10]
+    (reference dataset.py:178-201)."""
+
+    def __init__(self, arr, resize: int = 64):
+        lv = arr["latents_values"]
+        rotation_mask = np.isin(lv[:, 3], get_spaced_elements(lv[:, 3], 5)[:-1])
+        x_mask = np.isin(lv[:, 4], get_spaced_elements(lv[:, 4], 10))
+        y_mask = np.isin(lv[:, 5], get_spaced_elements(lv[:, 5], 10))
+        mask = rotation_mask & x_mask & y_mask
+        assert mask.sum() == np.prod(self.factor_sizes)
+        _ArrayDataset.__init__(
+            self, arr["imgs"][mask] * np.uint8(255), lv[mask], resize
+        )
+
+    @property
+    def factor_sizes(self) -> List[int]:
+        return [1, 3, 6, 4, 10, 10]
+
+
+class MPI3D(_ArrayDataset):
+    """MPI3D-toy (64x64 RGB; factors [6,6,2,3,3,40,40]).
+
+    Reference: dataset.py:40-89. __len__ is defined here (the reference
+    omits it — quirk Q5 — making its MPI3D unusable with a DataLoader).
+    """
+
+    def __init__(self, arr, resize: int = 64):
+        imgs = arr["images"]
+        bases = factor_bases(self.orig_factor_sizes)
+        latents = index_to_factor(
+            np.arange(imgs.shape[0]), bases, self.orig_factor_sizes
+        )
+        super().__init__(imgs, latents, resize)
+
+    @property
+    def latent_indices(self) -> List[int]:
+        return [0, 1, 2, 3, 4, 5, 6]
+
+    @property
+    def factor_sizes(self) -> List[int]:
+        return [6, 6, 2, 3, 3, 40, 40]
+
+    @property
+    def orig_factor_sizes(self) -> List[int]:
+        return [6, 6, 2, 3, 3, 40, 40]
+
+    @classmethod
+    def load_data(cls, resize: int = 64, data_root: str | None = None):
+        data_root = data_root or os.path.expanduser("~/mpi3d-dataset")
+        arr = np.load(os.path.join(data_root, "mpi3d_toy.npz"))
+        return cls(arr, resize=resize)
+
+
+class MPI3DSmall(MPI3D):
+    """MPI3D with camera angles subsampled 40 -> 4 per axis
+    (reference dataset.py:92-129)."""
+
+    def __init__(self, arr, resize: int = 64):
+        imgs = arr["images"]
+        bases = factor_bases(self.orig_factor_sizes)
+        latents = index_to_factor(
+            np.arange(imgs.shape[0]), bases, self.orig_factor_sizes
+        )
+        h_mask = np.isin(latents[:, 5], get_spaced_elements(latents[:, 5], 4))
+        v_mask = np.isin(latents[:, 6], get_spaced_elements(latents[:, 6], 4))
+        mask = h_mask & v_mask
+        assert mask.sum() == np.prod(self.factor_sizes)
+        _ArrayDataset.__init__(self, imgs[mask], latents[mask], resize)
+
+    @property
+    def factor_sizes(self) -> List[int]:
+        return [6, 6, 2, 3, 3, 4, 4]
+
+
+class UkiyoE:
+    """ARC Ukiyo-E face crops, labeled by painter (a plain labeled dataset —
+    not factor-structured, so disentanglement metrics don't apply, matching
+    the reference where UkiyoE extends data.Dataset directly,
+    dataset.py:207).
+
+    Reference: dataset.py:207-288. The CSV's 27 columns are renamed
+    positionally to English; entries come from the ``filename`` column
+    (the reference reads ``singleface_filename``, which its own
+    ``load_labels`` drops — broken as-is; we accept either).
+    Files missing on disk are skipped. Horizontal flip (p=0.5) is applied
+    at batch time by the loader, matching RandomHorizontalFlip.
+    """
+
+    COLUMN_NAMES = [
+        "ACNo.", "Print title", "Picture name", "Official title", "Text",
+        "Publisher", "Format", "Direction", "Seal", "Painter",
+        "revised seals", "Year in A.D.", "Year in Japanese Calender",
+        "Region", "Theater", "Title of play", "Reading of Title of play",
+        "Performed title", "Reading of Performed title",
+        "Main performed title", "Classification title", "Library", "Text2",
+        "homeURL", "SmallImageURL", "LargeImageURL", "filename",
+    ]
+
+    def __init__(self, root: str, df, category: str = "Painter", resize: int = 256):
+        self.root = root
+        self.labels = df[category].astype("category")
+        self.category = category
+        self.resize = resize
+        self.random_flip = True
+        self._rng = np.random.RandomState()
+
+        name_col = (
+            "singleface_filename" if "singleface_filename" in df.columns else "filename"
+        )
+        self.entries = [
+            tuple(r)
+            for r in zip(df[name_col], self.labels.cat.codes)
+            if os.path.exists(os.path.join(self.root, str(r[0])))
+        ]
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, index: int):
+        image_filename, label = self.entries[index]
+        img = load_image(
+            os.path.join(self.root, image_filename),
+            input_height=256,
+            output_height=self.resize,
+            is_mirror=False,
+            is_random_crop=False,
+        )
+        if self.random_flip and self._rng.rand() < 0.5:
+            img = img[:, ::-1, :].copy()
+        return img, np.array(label)
+
+    def get_batch(self, indices: np.ndarray) -> np.ndarray:
+        return np.stack([self[i][0] for i in np.asarray(indices)], axis=0)
+
+    def get_label(self, index: int) -> str:
+        code = self.labels.cat.codes.iloc[index]
+        return self.labels.cat.categories[code]
+
+    @classmethod
+    def load_data(cls, resize: int = 256, data_root: str | None = None):
+        data_root = data_root or os.path.expanduser("~/arc-ukiyoe-faces/scratch")
+        image_dir = os.path.join(data_root, "arc_extracted_face_images")
+        return cls(image_dir, cls.load_labels(data_root), "Painter", resize=resize)
+
+    @classmethod
+    def load_labels(cls, data_root: str):
+        import pandas as pd
+
+        labels = pd.read_csv(os.path.join(data_root, "arc_extracted_face_metadata.csv"))
+        rename = dict(zip(list(labels.columns[: len(cls.COLUMN_NAMES)]), cls.COLUMN_NAMES))
+        labels = labels.rename(columns=rename)
+        keep = ["Painter", "Year in A.D.", "Region", "filename"]
+        if "singleface_filename" in labels.columns:
+            keep.append("singleface_filename")
+        labels = labels[keep]
+        labels["Painter"] = labels["Painter"].astype(str)
+        return labels
+
+
+class Synthetic(DisentanglementDataset):
+    """Procedural disentanglement dataset (no files needed).
+
+    Factors (color, scale, x, y) render a filled square on a black
+    background; images are generated vectorized per batch. Used by tests
+    and benchmarks; supports all disentanglement metrics.
+    """
+
+    def __init__(
+        self,
+        image_size: int = 64,
+        cdim: int = 3,
+        sizes: Sequence[int] = (4, 5, 8, 8),
+    ):
+        self._factor_sizes = list(sizes)
+        self.image_size = image_size
+        self.cdim = cdim
+        self._bases = factor_bases(self._factor_sizes)
+        n = int(np.prod(self._factor_sizes))
+        self.latents_values = index_to_factor(
+            np.arange(n), self._bases, self._factor_sizes
+        )
+
+    @property
+    def latent_indices(self) -> List[int]:
+        return list(range(len(self._factor_sizes)))
+
+    @property
+    def factor_sizes(self) -> List[int]:
+        return self._factor_sizes
+
+    def __len__(self) -> int:
+        return int(np.prod(self._factor_sizes))
+
+    def _render(self, factors: np.ndarray) -> np.ndarray:
+        """Vectorized render: factors [B, 4] -> images [B, S, S, C]."""
+        s = self.image_size
+        n_color, n_scale, n_x, n_y = self._factor_sizes
+        color, scale, fx, fy = (factors[:, i] for i in range(4))
+        side = ((scale + 1) * s) // (2 * n_scale)  # [s/2n .. s/2]
+        x0 = (fx * (s - side)) // max(n_x - 1, 1)
+        y0 = (fy * (s - side)) // max(n_y - 1, 1)
+        xs = np.arange(s)[None, :]
+        col_mask = (xs >= x0[:, None]) & (xs < (x0 + side)[:, None])  # [B, S]
+        row_mask = (xs >= y0[:, None]) & (xs < (y0 + side)[:, None])
+        mask = row_mask[:, :, None] & col_mask[:, None, :]  # [B, S, S]
+        img = mask.astype(np.float32)[..., None]
+        if self.cdim == 3:
+            intensity = 0.25 + 0.75 * (color[:, None, None, None] / max(n_color - 1, 1))
+            chans = [
+                img * intensity,
+                img * (1.0 - 0.5 * intensity),
+                img * np.abs(1.0 - 2.0 * intensity * 0.5),
+            ]
+            return np.concatenate(chans, axis=-1).astype(np.float32)
+        intensity = 0.25 + 0.75 * (color[:, None, None, None] / max(n_color - 1, 1))
+        return (img * intensity).astype(np.float32)
+
+    def __getitem__(self, index: int):
+        factors = self.latents_values[index : index + 1]
+        return self._render(factors)[0], self.latents_values[index]
+
+    def get_batch(self, indices: np.ndarray) -> np.ndarray:
+        return self._render(self.latents_values[np.asarray(indices)])
+
+
+def load_dataset(
+    name: str, data_root: str | None = None
+) -> Tuple[DisentanglementDataset, int, List[int], int]:
+    """Dataset factory: name -> (dataset, image_size, channels, cdim).
+
+    The table matches reference train.py:56-92 plus 'synthetic*'.
+    """
+    table = {
+        "ukiyo_e256": (256, [64, 128, 256, 512, 512, 512], 3),
+        "ukiyo_e128": (128, [64, 128, 256, 512, 512], 3),
+        "ukiyo_e64": (64, [64, 128, 256, 512], 3),
+        "dsprites": (64, [64, 128, 256, 512], 1),
+        "dsprites_small": (64, [64, 128, 256, 512], 1),
+        "mpi3d": (64, [64, 128, 256, 512], 3),
+        "mpi3d_small": (64, [64, 128, 256, 512], 3),
+        "synthetic": (64, [64, 128, 256, 512], 3),
+        "synthetic128": (128, [64, 128, 256, 512, 512], 3),
+        "synthetic_small": (32, [16, 32], 3),  # tiny: smoke tests / demos
+    }
+    if name not in table:
+        raise NotImplementedError(f"dataset '{name}' is not supported")
+    image_size, channels, cdim = table[name]
+
+    if name.startswith("ukiyo_e"):
+        ds = UkiyoE.load_data(resize=image_size, data_root=data_root)
+    elif name == "dsprites":
+        ds = DSprites.load_data(data_root=data_root)
+    elif name == "dsprites_small":
+        ds = DSpritesSmall.load_data(data_root=data_root)
+    elif name == "mpi3d":
+        ds = MPI3D.load_data(data_root=data_root)
+    elif name == "mpi3d_small":
+        ds = MPI3DSmall.load_data(data_root=data_root)
+    elif name == "synthetic_small":
+        ds = Synthetic(image_size=image_size, cdim=cdim, sizes=(2, 2, 4, 4))
+    else:
+        ds = Synthetic(image_size=image_size, cdim=cdim)
+    return ds, image_size, channels, cdim

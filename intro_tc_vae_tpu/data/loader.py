@@ -1,0 +1,132 @@
+"""Device feeding: shuffled batching with background prefetch onto the
+device (or a NamedSharding over a mesh's data axis).
+
+TPU-native replacement for DataLoader(num_workers=2) + WrappedDataLoader
+(reference train.py:146-159, dataset.py:16-27): a host thread assembles
+the next numpy batch and `jax.device_put`s it while the device computes
+the current step, keeping the XLA pipeline fed.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class DeviceLoader:
+    """Iterates device-resident [B, H, W, C] float32 batches for one epoch.
+
+    Args:
+        dataset: anything with __len__ and get_batch(indices) (see
+            data.datasets) or __getitem__ fallback.
+        batch_size: per-step global batch size.
+        shuffle: reshuffle each epoch.
+        drop_last: drop the trailing partial batch (default True: jit'd
+            train steps want static shapes; the reference pads implicitly
+            by just running a smaller batch, which would retrace).
+        sharding: optional jax.sharding.Sharding for the batch (data-axis
+            NamedSharding for multi-chip).
+        prefetch: number of batches to stage ahead (host thread).
+        seed: shuffle RNG seed.
+        pre_process: optional host-side fn(batch) -> batch applied before
+            transfer (the WrappedDataLoader hook).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        sharding=None,
+        prefetch: int = 2,
+        seed: int = 0,
+        pre_process: Optional[Callable] = None,
+        include_labels: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.sharding = sharding
+        self.prefetch = max(1, prefetch)
+        self.pre_process = pre_process
+        self.include_labels = include_labels
+        self._rng = np.random.RandomState(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            yield order[start : start + self.batch_size]
+
+    def _make_batch(self, idx: np.ndarray):
+        if hasattr(self.dataset, "get_batch"):
+            imgs = self.dataset.get_batch(idx)
+        else:
+            imgs = np.stack([self.dataset[i][0] for i in idx], axis=0)
+        if self.pre_process is not None:
+            imgs = self.pre_process(imgs)
+        batch = jax.device_put(imgs, self.sharding)
+        if self.include_labels:
+            labels = np.stack([self.dataset.latents_values[i] for i in idx], axis=0) \
+                if hasattr(self.dataset, "latents_values") \
+                else np.stack([self.dataset[i][1] for i in idx], axis=0)
+            return batch, labels
+        return batch
+
+    def __iter__(self) -> Iterator:
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err_holder = []
+
+        def producer():
+            try:
+                for idx in self._index_batches():
+                    q.put(self._make_batch(idx))
+            except Exception as e:  # surfaced on the consumer side
+                err_holder.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err_holder:
+                    raise err_holder[0]
+                return
+            yield item
+
+
+class WrappedDataLoader:
+    """API-parity shim (reference dataset.py:16-27): maps every batch of an
+    inner iterable through ``pre_process``."""
+
+    def __init__(self, data_loader, pre_process: Callable):
+        self.dl = data_loader
+        self.func = pre_process
+
+    def __len__(self):
+        return len(self.dl)
+
+    def __iter__(self):
+        for b in self.dl:
+            if isinstance(b, tuple):
+                yield self.func(*b)
+            else:
+                yield self.func(b)

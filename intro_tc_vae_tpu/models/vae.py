@@ -94,7 +94,8 @@ class Encoder(nn.Module):
 
         y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}")(y, train)
 
-        num_fc_features = int(jnp.prod(jnp.asarray(self.conv_output_size)))
+        h, w, c = self.conv_output_size
+        num_fc_features = h * w * c
         y = y.reshape(y.shape[0], -1)
         y = dense(2 * self.zdim, num_fc_features, dtype=self.dtype, name="fc")(y)
         mu, logvar = jnp.split(y, 2, axis=1)

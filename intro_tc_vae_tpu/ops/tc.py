@@ -65,6 +65,8 @@ def total_correlation(
         from intro_tc_vae_tpu.ops.tc_pallas import tc_logsumexp_pallas
 
         log_qz_product, log_qz = tc_logsumexp_pallas(z, mu, logvar, dataset_size)
+    elif impl == "blockwise":
+        log_qz_product, log_qz = tc_logsumexp_blockwise(z, mu, logvar, dataset_size)
     else:
         log_qz_prob = _pairwise_log_density(z, mu, logvar, variance_index="j")
         log_qz_product, log_qz = minibatch_stratified_sampling(
@@ -75,6 +77,88 @@ def total_correlation(
     if reduce == "mean":
         return jnp.mean(tc)
     return tc
+
+
+def tc_logsumexp_blockwise(
+    z: jax.Array,
+    mu: jax.Array,
+    logvar: jax.Array,
+    dataset_size: int,
+    block: int = 128,
+):
+    """Streaming (flash-style) TC reductions: never materializes [B, B, z].
+
+    Scans over i-blocks of the posterior bank maintaining online-logsumexp
+    state for both the per-latent marginals [B, z] and the joint [B], so
+    peak memory is O(B·z + B·block) instead of O(B²·z). This is the
+    global-batch scaling path (SURVEY §5.7: the honest analogue of
+    blockwise/ring attention for this codebase); gradients flow through
+    `lax.scan` with rematerialized blocks.
+
+    Returns (log prod_l q(z_l) [B], log q(z) [B]) — identical numerics to
+    `minibatch_stratified_sampling` up to fp accumulation order.
+    """
+    import math
+
+    from intro_tc_vae_tpu.ops.density import (
+        _LOG_2PI,
+        _LOG_PROB_FLOOR,
+        _VAR_FLOOR,
+        log_importance_weight_matrix,
+    )
+
+    b, zdim = z.shape
+    block = min(block, b)
+    if b % block != 0:  # fall back to any divisor
+        block = math.gcd(b, block)
+    ni = b // block
+
+    log_iw = log_importance_weight_matrix(b, dataset_size)          # [B, B]
+    var = jnp.maximum(jnp.exp(logvar), _VAR_FLOOR)                  # [B, z]
+    log_var_f = jnp.log(var)
+
+    mu_blocks = mu.reshape(ni, block, zdim)
+    iw_blocks = jnp.transpose(log_iw.reshape(b, ni, block), (1, 0, 2))  # [ni, B, blk]
+
+    neg_inf = jnp.full((), -jnp.inf, z.dtype)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        m_m, s_m, m_j, s_j = carry
+        mu_blk, iw_blk = xs
+        diff = z[:, None, :] - mu_blk[None, :, :]                   # [B, blk, z]
+        p = -0.5 * (log_var_f[:, None, :] + diff * diff / var[:, None, :] + _LOG_2PI)
+        p = jnp.maximum(p, _LOG_PROB_FLOOR)
+
+        # marginals: online logsumexp over i of iw + p, per (j, l)
+        xm = iw_blk[:, :, None] + p                                  # [B, blk, z]
+        bm = jnp.max(xm, axis=1)
+        new_m = jnp.maximum(m_m, bm)
+        s_m = s_m * jnp.exp(m_m - new_m) + jnp.sum(
+            jnp.exp(xm - new_m[:, None, :]), axis=1
+        )
+        m_m = new_m
+
+        # joint: online logsumexp over i of iw + sum_l p, per j
+        xj = iw_blk + jnp.sum(p, axis=2)                             # [B, blk]
+        bj = jnp.max(xj, axis=1)
+        new_mj = jnp.maximum(m_j, bj)
+        s_j = s_j * jnp.exp(m_j - new_mj) + jnp.sum(
+            jnp.exp(xj - new_mj[:, None]), axis=1
+        )
+        m_j = new_mj
+        return (m_m, s_m, m_j, s_j), None
+
+    init = (
+        jnp.full((b, zdim), neg_inf),
+        jnp.zeros((b, zdim), z.dtype),
+        jnp.full((b,), neg_inf),
+        jnp.zeros((b,), z.dtype),
+    )
+    (m_m, s_m, m_j, s_j), _ = jax.lax.scan(body, init, (mu_blocks, iw_blocks))
+    logqz_prodmarginals = jnp.sum(jnp.log(s_m) + m_m, axis=1)
+    log_qz = jnp.log(s_j) + m_j
+    return logqz_prodmarginals, log_qz
 
 
 def tc_decomposition(

@@ -1,0 +1,19 @@
+"""SPMD parallelism: device mesh + named shardings.
+
+The reference is single-device (SURVEY §2.9: no DDP/launcher/world-size).
+Here data-parallelism is first-class and free: the train step is jitted
+over a `jax.sharding.Mesh` with the batch sharded on the 'data' axis and
+parameters replicated; GSPMD inserts the gradient psums (and makes
+BatchNorm batch statistics and the total-correlation logsumexp *global*
+across the batch axis — true sync-BN / global-batch TC semantics) without
+any hand-written communication.
+"""
+
+from intro_tc_vae_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_state,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_state"]

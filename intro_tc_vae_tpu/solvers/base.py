@@ -91,9 +91,21 @@ def kl_term(h: SolverHyper, z, mu, logvar, reduce: str = "mean", beta=None):
 
     'gaussian' (vae/intro): beta * KL             (solvers/vae.py:63-77)
     'tc' (tc/intro_tc):     (beta-1)*TC + KL      (solvers/tc.py:69-89)
+    'tc_full':              MI + beta*TC + dimension-wise KL — the full
+        ELBO decomposition the reference implements but leaves unwired
+        (solvers/tc.py:91-144, quirk Q11).
+
+    Returns (weighted loss, unscaled value for the 'kl_loss_unscaled' tag).
     """
     if beta is None:
         beta = h.beta_kl
+    if h.kl_kind == "tc_full":
+        mi, tc, kl_dim = ops.tc_decomposition(z, mu, logvar, h.dataset_size)
+        if reduce == "mean":
+            mi, tc, kl_dim = jnp.mean(mi), jnp.mean(tc), jnp.mean(kl_dim)
+        elif reduce == "sum":
+            mi, tc, kl_dim = jnp.sum(mi), jnp.sum(tc), jnp.sum(kl_dim)
+        return mi + beta * tc + kl_dim, mi + tc + kl_dim
     kl = ops.kl_divergence(logvar, mu, reduce=reduce)
     if h.kl_kind == "gaussian":
         return beta * kl, kl
@@ -174,6 +186,7 @@ class VAESolver:
         test_iter: int = 1000,
         clip: Optional[float] = None,
         tc_impl: str = "xla",
+        kl_kind: Optional[str] = None,
         mesh=None,
         batch_sharding=None,
     ):
@@ -198,17 +211,20 @@ class VAESolver:
             gamma_r=gamma_r,
             scale=1.0 / (cdim * image_size**2),
             dataset_size=len(dataset) if dataset is not None else 1,
-            kl_kind=self.kl_kind,
+            kl_kind=kl_kind or self.kl_kind,
             tc_impl=tc_impl,
             clip=clip,
             zdim=encoder.zdim,
         )
 
         self.latent_generator = None
-        if dataset is not None and hasattr(dataset, "latent_indices"):
-            from intro_tc_vae_tpu.evaluation.generator import LatentGenerator
+        try:
+            if dataset is not None and dataset.latent_indices is not None:
+                from intro_tc_vae_tpu.evaluation.generator import LatentGenerator
 
-            self.latent_generator = LatentGenerator(dataset)
+                self.latent_generator = LatentGenerator(dataset)
+        except (NotImplementedError, AttributeError):
+            pass  # plain (non-factor) dataset: no disentanglement metrics
 
         self._step_fn = jax.jit(self.build_step(), donate_argnums=(0,))
         self._eval_encode = None

@@ -1,0 +1,113 @@
+"""Checkpointing via Orbax.
+
+Parity surface of reference utils.py:10-36 (save_checkpoint/load_model)
+with the same filename-fingerprint scheme
+(./saves/{prefix}model_epoch_E_iter_I), plus a deliberate fix of
+reference quirk Q12: optimizer state IS checkpointed, so resume restores
+Adam moments.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _ckpt_path(checkpoint_dir: str, prefix: str, epoch: int, iteration: int) -> str:
+    name = f"{prefix}model_epoch_{epoch}_iter_{iteration}"
+    return os.path.abspath(os.path.join(checkpoint_dir, name))
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    state: Any,
+    epoch: int,
+    iteration: int,
+    prefix: str = "",
+    checkpoint_dir: str = "./saves",
+) -> str:
+    """Save full train state (params + batch_stats + optimizer states).
+
+    Uses Orbax's StandardCheckpointer; the payload is a pure pytree.
+    Returns the checkpoint path.
+    """
+    import orbax.checkpoint as ocp
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = _ckpt_path(checkpoint_dir, prefix, epoch, iteration)
+    payload = {
+        "epoch": np.asarray(epoch),
+        "step": np.asarray(state.step),
+        "params": _to_numpy(state.params),
+        "batch_stats": _to_numpy(state.batch_stats),
+        "opt_state_e": _to_numpy(state.opt_state_e),
+        "opt_state_d": _to_numpy(state.opt_state_d),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    print(f"model checkpoint saved @ {path}")
+    return path
+
+
+def load_checkpoint(path: str, target_state: Optional[Any] = None):
+    """Restore a checkpoint.
+
+    With ``target_state`` (a freshly initialized TrainState), the restored
+    arrays are structured exactly like the target (including optax state
+    namedtuples) and a new TrainState is returned alongside the epoch.
+    Without it, the raw payload dict is returned.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if target_state is None:
+            return ckptr.restore(path)
+        abstract = {
+            "epoch": np.asarray(0),
+            "step": np.asarray(target_state.step),
+            "params": _to_numpy(target_state.params),
+            "batch_stats": _to_numpy(target_state.batch_stats),
+            "opt_state_e": _to_numpy(target_state.opt_state_e),
+            "opt_state_d": _to_numpy(target_state.opt_state_d),
+        }
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, abstract)
+        restored = ckptr.restore(path, abstract)
+    new_state = target_state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state_e=restored["opt_state_e"],
+        opt_state_d=restored["opt_state_d"],
+    )
+    return new_state, int(restored["epoch"])
+
+
+def load_model(state: Any, path: str):
+    """Params/batch_stats-only restore into an existing state (the
+    analogue of reference load_model's strict=False state_dict load)."""
+    payload = load_checkpoint(path)
+    return state.replace(
+        params=payload["params"], batch_stats=payload["batch_stats"]
+    )
+
+
+def save_losses(fig_dir: str, kls_real, kls_fake, kls_rec, rec_errs):
+    """Pickle training curves (reference utils.py:15-23)."""
+    with open(os.path.join(fig_dir, "soft_intro_train_graphs_data.pickle"), "wb") as fp:
+        pickle.dump(
+            {
+                "kl_real": kls_real,
+                "kl_fake": kls_fake,
+                "kl_rec": kls_rec,
+                "rec_err": rec_errs,
+            },
+            fp,
+        )

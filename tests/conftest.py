@@ -7,7 +7,9 @@ Mesh/NamedSharding code without a TPU pod.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The machine environment presets JAX_PLATFORMS=axon (the TPU tunnel);
+# tests must run on the virtual CPU mesh — force, don't setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 # Keep CPU matmuls deterministic/fp32 for golden-value comparisons.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import jax
+
+# The axon TPU plugin overrides JAX_PLATFORMS at registration time; the
+# config knob wins over the plugin, so set it too.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

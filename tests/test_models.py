@@ -135,14 +135,21 @@ class TestTorchParity:
     def test_res_param_count_matches_reference(self):
         """'res' arch: parameter count must equal the torch reference model."""
         import sys
+        import types
 
         import torch  # noqa: F401
 
+        # Reference models.py does 'from black import out' (unused, quirk Q6);
+        # stub it so the import works in clean envs.
+        if "black" not in sys.modules:
+            stub = types.ModuleType("black")
+            stub.out = None
+            sys.modules["black"] = stub
         sys.path.insert(0, "/root/reference")
         try:
             try:
                 import models as ref_models
-            except ImportError as e:  # 'from black import out' quirk Q6
+            except ImportError as e:
                 pytest.skip(f"reference models.py unimportable: {e}")
             ref = ref_models.SoftIntroVAE(
                 arch="res", cdim=3, zdim=128, channels=[64, 128, 256, 512],

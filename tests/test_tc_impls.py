@@ -1,0 +1,75 @@
+"""TC implementation equivalence: xla vs blockwise vs pallas (interpret on
+CPU), values and gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intro_tc_vae_tpu import ops
+from intro_tc_vae_tpu.ops.tc import tc_logsumexp_blockwise
+from intro_tc_vae_tpu.ops import tc_pallas
+
+
+@pytest.fixture
+def inputs(rng):
+    b, zdim = 32, 16
+    z = jnp.asarray(rng.randn(b, zdim).astype(np.float32))
+    mu = jnp.asarray(rng.randn(b, zdim).astype(np.float32))
+    logvar = jnp.asarray((rng.randn(b, zdim) * 0.7).astype(np.float32))
+    return z, mu, logvar
+
+
+N = 5000
+
+
+class TestBlockwise:
+    @pytest.mark.parametrize("block", [8, 16, 32])
+    def test_matches_xla(self, inputs, block):
+        z, mu, logvar = inputs
+        pm_ref, qz_ref = ops.minibatch_stratified_sampling(
+            ops.gaussian_log_density_nll(
+                z[:, None, :], mu[None, :, :], logvar[:, None, :]
+            ), z.shape[0], N,
+        )
+        pm, qz = tc_logsumexp_blockwise(z, mu, logvar, N, block=block)
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(pm_ref), rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(qz), np.asarray(qz_ref), rtol=1e-5, atol=1e-4)
+
+    def test_grads_match_xla(self, inputs):
+        z, mu, logvar = inputs
+
+        def tc_xla(*a):
+            return ops.total_correlation(*a, N, impl="xla")
+
+        def tc_blk(*a):
+            return ops.total_correlation(*a, N, impl="blockwise")
+
+        g_ref = jax.grad(tc_xla, argnums=(0, 1, 2))(z, mu, logvar)
+        g_blk = jax.grad(tc_blk, argnums=(0, 1, 2))(z, mu, logvar)
+        for a, b in zip(g_ref, g_blk):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    def test_non_divisible_batch_falls_back(self, rng):
+        z = jnp.asarray(rng.randn(24, 4).astype(np.float32))
+        pm, qz = tc_logsumexp_blockwise(z, z, z * 0.1, N, block=128)
+        assert pm.shape == (24,) and qz.shape == (24,)
+        assert np.isfinite(np.asarray(pm)).all()
+
+
+class TestPallasInterpret:
+    """Pallas kernel in interpreter mode (CPU) — numerics vs XLA path."""
+
+    def test_forward_matches_xla(self, inputs):
+        z, mu, logvar = inputs
+        pm_ref, qz_ref = tc_logsumexp_blockwise(z, mu, logvar, N)
+        pm, qz = tc_pallas._tc_pallas_raw(z, mu, logvar, N, interpret=True)
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(pm_ref), rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(qz), np.asarray(qz_ref), rtol=1e-5, atol=1e-4)
+
+    def test_tile_picker(self):
+        from intro_tc_vae_tpu.ops.tc_pallas import _pick_tiles
+
+        assert _pick_tiles(256) == (8, 128)
+        tj, ti = _pick_tiles(64)
+        assert 64 % tj == 0 and 64 % ti == 0
