@@ -98,7 +98,8 @@ class Encoder(nn.Module):
         num_fc_features = h * w * c
         y = y.reshape(y.shape[0], -1)
         y = dense(2 * self.zdim, num_fc_features, dtype=self.dtype, name="fc")(y)
-        mu, logvar = jnp.split(y, 2, axis=1)
+        # loss math runs in fp32 regardless of the conv compute dtype
+        mu, logvar = jnp.split(y.astype(jnp.float32), 2, axis=1)
         return mu, logvar
 
 
@@ -134,7 +135,9 @@ class Decoder(nn.Module):
         y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}")(y, train)
         y = conv(self.cdim, 5, use_bias=True, in_ch=cc, dtype=self.dtype,
                  name="predict")(y)
-        return nn.sigmoid(y)
+        # sigmoid + reconstruction losses in fp32 (bf16 conv compute stays
+        # inside the blocks)
+        return nn.sigmoid(y.astype(jnp.float32))
 
 
 class SoftIntroVAE(nn.Module):

@@ -364,10 +364,15 @@ class VAESolver:
             num_samples=num_samples,
             batch_size=self.batch_size,
         )
-        em.write_bvae_score(self.writer, cur_iter, **kwargs)
-        em.write_dci_score(self.writer, cur_iter, **kwargs)
-        em.write_mig_score(self.writer, cur_iter, **kwargs)
-        em.write_mod_expl_score(self.writer, cur_iter, **kwargs)
+        for write in (em.write_bvae_score, em.write_dci_score,
+                      em.write_mig_score, em.write_mod_expl_score):
+            try:
+                write(self.writer, cur_iter, **kwargs)
+            except Exception as e:
+                # host-side sklearn metrics can fail on degenerate draws
+                # (e.g. a single-class label sample with tiny eval sets);
+                # never let that kill a long device run
+                print(f"disentanglement metric {write.__name__} failed: {e}")
 
     def make_eval_encoder(self, state) -> Callable:
         """Jitted eval-mode encode: images -> (mu, logvar) numpy."""

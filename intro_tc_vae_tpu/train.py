@@ -164,28 +164,38 @@ def train_soft_intro_vae(config: Config):
                             checkpoint_dir=config.checkpoint_dir)
 
         pbar = tqdm(iterable=loader)
+        pending = None  # previous step's device metrics: fetched one step
+        # behind so the host never stalls the device pipeline
         with profile_trace(enabled=config.profile):
             for batch in pbar:
                 timer.start()
                 state, metrics = solver.train_step(state, batch, cur_iter)
-                timer.stop(metrics["loss_enc"])
+                timer.stop()
 
-                loss_dict = {k: float(metrics[k]) for k in
-                             ("loss_enc", "loss_dec", "loss_kl", "loss_rec")
-                             if k in metrics}
-                if "L2" in metrics:
-                    loss_dict["L2"] = float(metrics["L2"])
-                solver.check_finite(loss_dict)
-                pbar.set_postfix(loss_dict)
+                if pending is not None:
+                    loss_dict = {k: float(pending[k]) for k in
+                                 ("loss_enc", "loss_dec", "loss_kl", "loss_rec")
+                                 if k in pending}
+                    if "L2" in pending:
+                        loss_dict["L2"] = float(pending["L2"])
+                    solver.check_finite(loss_dict)
+                    pbar.set_postfix(loss_dict)
+                    if epoch == config.num_epochs - 1:
+                        loss_dict.pop("L2", None)
+                        last_epoch_loss += LossDict(loss_dict)
+                pending = metrics
 
                 if config.profile and cur_iter == 50:
                     break
-                if epoch == config.num_epochs - 1:
-                    loss_dict.pop("L2", None)
-                    last_epoch_loss += LossDict(loss_dict)
-
                 cur_iter += 1
                 SingletonWriter().cur_iter = cur_iter
+        if pending is not None:
+            loss_dict = {k: float(pending[k]) for k in
+                         ("loss_enc", "loss_dec", "loss_kl", "loss_rec")
+                         if k in pending}
+            solver.check_finite(loss_dict)
+            if epoch == config.num_epochs - 1:
+                last_epoch_loss += LossDict(loss_dict)
         pbar.close()
 
         if config.profile:

@@ -111,6 +111,15 @@ class TensorboardReader:
     def read_score(self, name: str, events_file: str | None = None) -> TagConverter:
         return TagConverter(self.run_path / name, events_file=events_file)
 
+    def _score_df(self, main: str, sub: str):
+        """add_scalars sub-run accessor, tolerant of both writer layouts:
+        torch SummaryWriter writes '{main}_{sub}/', tensorboardX writes
+        '{main}/{sub}/'."""
+        flat = self.run_path / f"{main}_{sub}"
+        nested = self.run_path / main / sub
+        path = flat if flat.is_dir() else nested
+        return TagConverter(path).get_df(main)
+
     # -- hparams ----------------------------------------------------------
 
     @property
@@ -134,19 +143,19 @@ class TensorboardReader:
 
     @property
     def bvae_score(self):
-        return self.read_score("bvae_score_score").get_df("bvae_score")
+        return self._score_df("bvae_score", "score")
 
     @property
     def bvae_score_scaled(self):
-        return self.read_score("bvae_score_scaled").get_df("bvae_score")
+        return self._score_df("bvae_score", "scaled")
 
     @property
     def explicitness_score(self):
-        return self.read_score("mod_expl_explicitness_score").get_df("mod_expl")
+        return self._score_df("mod_expl", "explicitness_score")
 
     @property
     def modularity_score(self):
-        return self.read_score("mod_expl_modularity_score").get_df("mod_expl")
+        return self._score_df("mod_expl", "modularity_score")
 
     @property
     def mig_score(self):
@@ -154,21 +163,21 @@ class TensorboardReader:
 
     @property
     def dci_completeness_score(self):
-        return self.read_score("dci_dci_completeness_score").get_df("dci")
+        return self._score_df("dci", "dci_completeness_score")
 
     @property
     def dci_disentanglement_score(self):
-        return self.read_score("dci_dci_disentanglement_score").get_df("dci")
+        return self._score_df("dci", "dci_disentanglement_score")
 
     @property
     def dci_informativeness_score(self):
-        return self.read_score("dci_dci_informativeness_score").get_df("dci")
+        return self._score_df("dci", "dci_informativeness_score")
 
     # -- losses -----------------------------------------------------------
 
     @property
     def r_loss_scaled(self):
-        return self.read_score("losses_r_loss").get_df("losses")
+        return self._score_df("losses", "r_loss")
 
     @property
     def r_loss(self):
@@ -176,7 +185,7 @@ class TensorboardReader:
 
     @property
     def kl_loss_scaled(self):
-        return self.read_score("losses_kl_loss").get_df("losses")
+        return self._score_df("losses", "kl_loss")
 
     @property
     def kl_loss(self):
@@ -184,7 +193,7 @@ class TensorboardReader:
 
     @property
     def expelbo_f_loss_scaled(self):
-        return self.read_score("losses_expelbo_f").get_df("losses")
+        return self._score_df("losses", "expelbo_f")
 
     @property
     def diff_kl(self):
