@@ -13,6 +13,7 @@ vs_baseline is against the BASELINE.json north-star of >=20k img/s/chip.
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -29,47 +30,51 @@ ITERS = 30
 NORTH_STAR = 20000.0
 
 
-def main():
+def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc",
+         tc_impl="xla", iters=ITERS):
     from intro_tc_vae_tpu.data import Synthetic
     from intro_tc_vae_tpu.models import Decoder, Encoder
     from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
 
     precision = "bf16" if jax.devices()[0].platform == "tpu" else "fp32"
     dtype = jnp.bfloat16 if precision == "bf16" else None
+    channels = {64: (64, 128, 256, 512), 128: (64, 128, 256, 512, 512),
+                256: (64, 128, 256, 512, 512, 512)}[image_size]
 
-    dataset = Synthetic(image_size=IMAGE_SIZE, cdim=3, sizes=(4, 5, 8, 8))
-    kwargs = dict(cdim=3, zdim=ZDIM, channels=CHANNELS, image_size=IMAGE_SIZE,
+    dataset = Synthetic(image_size=image_size, cdim=3, sizes=(4, 5, 8, 8))
+    kwargs = dict(cdim=3, zdim=ZDIM, channels=channels, image_size=image_size,
                   dtype=dtype)
     solver = make_solver(
-        "intro_tc",
+        solver_name,
         dataset=dataset,
-        encoder=Encoder(arch="conv", **kwargs),
-        decoder=Decoder(arch="conv", **kwargs),
-        batch_size=BATCH,
+        encoder=Encoder(arch=arch, **kwargs),
+        decoder=Decoder(arch=arch, **kwargs),
+        batch_size=batch,
         optimizer_e=make_optimizer("adam", 2e-4),
         optimizer_d=make_optimizer("adam", 2e-4),
         beta_kl=0.5,
         beta_rec=0.75,
         beta_neg=512.0,
         gamma_r=1e-8,
+        tc_impl=tc_impl,
     )
 
-    batch = jnp.asarray(dataset.get_batch(np.arange(BATCH) % len(dataset)))
-    state = solver.init_state(jax.random.key(0), batch)
+    x = jnp.asarray(dataset.get_batch(np.arange(batch) % len(dataset)))
+    state = solver.init_state(jax.random.key(0), x)
 
     # warmup / compile
     for _ in range(WARMUP):
-        state, metrics = solver._step_fn(state, batch)
+        state, metrics = solver._step_fn(state, x)
     jax.block_until_ready(metrics["loss_enc"])
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = solver._step_fn(state, batch)
+    for _ in range(iters):
+        state, metrics = solver._step_fn(state, x)
     jax.block_until_ready(metrics["loss_enc"])
     dt = time.perf_counter() - t0
 
     assert bool(jnp.isfinite(metrics["loss_enc"])), "non-finite loss in bench"
-    imgs_per_sec = BATCH * ITERS / dt
+    imgs_per_sec = batch * iters / dt
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
         "value": round(imgs_per_sec, 1),
@@ -79,4 +84,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--image-size", type=int, default=IMAGE_SIZE)
+    ap.add_argument("--arch", default="conv")
+    ap.add_argument("--solver", default="intro_tc")
+    ap.add_argument("--tc-impl", default="xla")
+    ap.add_argument("--iters", type=int, default=ITERS)
+    a = ap.parse_args()
+    main(a.batch, a.image_size, a.arch, a.solver, a.tc_impl, a.iters)

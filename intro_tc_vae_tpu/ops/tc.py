@@ -104,7 +104,6 @@ def tc_logsumexp_blockwise(
         _LOG_2PI,
         _LOG_PROB_FLOOR,
         _VAR_FLOOR,
-        log_importance_weight_matrix,
     )
 
     b, zdim = z.shape
@@ -113,19 +112,34 @@ def tc_logsumexp_blockwise(
         block = math.gcd(b, block)
     ni = b // block
 
-    log_iw = log_importance_weight_matrix(b, dataset_size)          # [B, B]
     var = jnp.maximum(jnp.exp(logvar), _VAR_FLOOR)                  # [B, z]
     log_var_f = jnp.log(var)
 
     mu_blocks = mu.reshape(ni, block, zdim)
-    iw_blocks = jnp.transpose(log_iw.reshape(b, ni, block), (1, 0, 2))  # [ni, B, blk]
+
+    # stratified weights generated per block (no O(B^2) matrix): the
+    # column-structured layout (density.py) depends only on the column
+    # index, except W[M-1, 0].
+    n_f, m = float(dataset_size), b - 1
+    log1m = math.log(1.0 / m)
+    log1n = math.log(1.0 / n_f)
+    logstrat = math.log((n_f - m) / (n_f * m))
+    rows = jnp.arange(b)[:, None]                                    # [B, 1]
+
+    def iw_for(block_idx):
+        cols = block_idx * block + jnp.arange(block)[None, :]        # [1, blk]
+        iw = jnp.full((b, block), log1m, jnp.float32)
+        iw = jnp.where(cols == 0,
+                       jnp.where(rows == m - 1, logstrat, log1n), iw)
+        return jnp.where(cols == 1, logstrat, iw)
 
     neg_inf = jnp.full((), -jnp.inf, z.dtype)
 
     @jax.checkpoint
     def body(carry, xs):
         m_m, s_m, m_j, s_j = carry
-        mu_blk, iw_blk = xs
+        mu_blk, blk_idx = xs
+        iw_blk = iw_for(blk_idx)
         diff = z[:, None, :] - mu_blk[None, :, :]                   # [B, blk, z]
         p = -0.5 * (log_var_f[:, None, :] + diff * diff / var[:, None, :] + _LOG_2PI)
         p = jnp.maximum(p, _LOG_PROB_FLOOR)
@@ -155,7 +169,9 @@ def tc_logsumexp_blockwise(
         jnp.full((b,), neg_inf),
         jnp.zeros((b,), z.dtype),
     )
-    (m_m, s_m, m_j, s_j), _ = jax.lax.scan(body, init, (mu_blocks, iw_blocks))
+    (m_m, s_m, m_j, s_j), _ = jax.lax.scan(
+        body, init, (mu_blocks, jnp.arange(ni))
+    )
     logqz_prodmarginals = jnp.sum(jnp.log(s_m) + m_m, axis=1)
     log_qz = jnp.log(s_j) + m_j
     return logqz_prodmarginals, log_qz

@@ -12,9 +12,21 @@ i.e. the whole reference pipeline ops.py:80-115 without ever writing the
 drops from O(B²·z) to O(B·z), which is what lets global-batch TC scale
 past VMEM when the batch is large or sharded.
 
-Backward: `custom_vjp` whose bwd rule re-runs the memory-safe blockwise
-scan path (`tc_logsumexp_blockwise`) under `jax.vjp` — identical numerics,
-O(B·z) memory. (A fully fused Pallas backward is a further optimization.)
+Backward: fully fused Pallas kernels (flash-attention-style recompute).
+With the forward's logsumexp results L_marg[j,l] and L_joint[j] saved as
+residuals, the incoming gradients turn into softmax weights
+
+    dP[j,i,l] = g_marg[j] * exp(iw[j,i] + P[j,i,l] - L_marg[j,l])
+              + g_joint[j] * exp(iw[j,i] + Σ_l P[j,i,l] - L_joint[j])
+
+and the chain rule through the density gives
+    dz[j,l]      = Σ_i dP · (-(z-mu)/var)
+    dmu[i,l]     = Σ_j dP · (+(z-mu)/var)
+    dlogvar[j,l] = Σ_i dP · (-0.5·(1 - (z-mu)²/var)) · 1[var not floored]
+with dP masked where the forward clamped (P_raw < -50 ⇒ no gradient,
+matching torch.clamp). Two kernels: a j-major grid accumulating
+dz/dlogvar over i-tiles, and an i-major grid accumulating dmu over
+j-tiles; each recomputes its P block in VMEM (no O(B²·z) residuals).
 """
 
 from __future__ import annotations
@@ -31,7 +43,6 @@ from intro_tc_vae_tpu.ops.density import (
     _LOG_2PI,
     _LOG_PROB_FLOOR,
     _VAR_FLOOR,
-    log_importance_weight_matrix,
 )
 
 _NEG_INF = float("-inf")
@@ -44,9 +55,39 @@ def _pick_tiles(b: int) -> tuple[int, int]:
     return tile_j, tile_i
 
 
-def _tc_fwd_kernel(z_ref, var_ref, lvf_ref, mu_ref, iw_ref,
+def _iw_consts(batch_size: int, dataset_size: int):
+    """Compile-time constants of the stratified weight matrix
+    (column-structured layout, see ops/density.py)."""
+    n = float(dataset_size)
+    m = batch_size - 1
+    strat = (n - m) / (n * m)
+    return dict(
+        log1m=float(math.log(1.0 / m)),
+        log1n=float(math.log(1.0 / n)),
+        logstrat=float(math.log(strat)),
+        special_row=m - 1,
+    )
+
+
+def _iw_block(row_pid, col_pid, tj: int, ti: int, c: dict):
+    """(TJ, TI) tile of the log importance-weight matrix, generated
+    on-the-fly from grid coordinates — no O(B²) input array, which is what
+    lets TC scale to batches where even the weight matrix wouldn't fit."""
+    rows = row_pid * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, ti), 0)
+    cols = col_pid * ti + jax.lax.broadcasted_iota(jnp.int32, (tj, ti), 1)
+    iw = jnp.full((tj, ti), c["log1m"], jnp.float32)
+    iw = jnp.where(
+        cols == 0,
+        jnp.where(rows == c["special_row"], c["logstrat"], c["log1n"]),
+        iw,
+    )
+    return jnp.where(cols == 1, c["logstrat"], iw)
+
+
+def _tc_fwd_kernel(z_ref, var_ref, lvf_ref, mu_ref,
                    lm_ref, lj_ref,
-                   m_marg, s_marg, m_joint, s_joint):
+                   m_marg, s_marg, m_joint, s_joint,
+                   *, iw_c: dict, tj: int, ti: int):
     i = pl.program_id(1)
     ni = pl.num_programs(1)
 
@@ -61,7 +102,7 @@ def _tc_fwd_kernel(z_ref, var_ref, lvf_ref, mu_ref, iw_ref,
     var = var_ref[:]      # (TJ, Z) floored variance
     lvf = lvf_ref[:]      # (TJ, Z) log floored variance
     mu = mu_ref[:]        # (TI, Z)
-    iw = iw_ref[:]        # (TJ, TI)
+    iw = _iw_block(pl.program_id(0), i, tj, ti, iw_c)  # (TJ, TI)
 
     diff = z[:, None, :] - mu[None, :, :]                       # (TJ, TI, Z)
     p = -0.5 * (lvf[:, None, :] + diff * diff / var[:, None, :] + _LOG_2PI)
@@ -91,25 +132,157 @@ def _tc_fwd_kernel(z_ref, var_ref, lvf_ref, mu_ref, iw_ref,
         lj_ref[:] = jnp.log(s_joint[:]) + m_joint[:]
 
 
-def _tc_pallas_raw(z, mu, logvar, dataset_size: int, interpret: bool = False):
+def _dp_block(z, var, lvf, mu, iw, lm, lj, g_m, g_j):
+    """Recompute the (TJ, TI, Z) density block and its incoming gradient.
+
+    Returns (dP, diff, var_b) where dP is already masked by the forward's
+    -50 clamp.
+    """
+    diff = z[:, None, :] - mu[None, :, :]                       # (TJ, TI, Z)
+    p_raw = -0.5 * (lvf[:, None, :] + diff * diff / var[:, None, :] + _LOG_2PI)
+    p = jnp.maximum(p_raw, _LOG_PROB_FLOOR)
+    w_marg = jnp.exp(iw[:, :, None] + p - lm[:, None, :])       # (TJ, TI, Z)
+    s = jnp.sum(p, axis=2)                                      # (TJ, TI)
+    w_joint = jnp.exp(iw + s - lj)                              # (TJ, TI)
+    dp = g_m[:, None, :] * w_marg + (g_j * w_joint)[:, :, None]
+    dp = jnp.where(p_raw > _LOG_PROB_FLOOR, dp, 0.0)
+    return dp, diff
+
+
+def _tc_bwd_dz_kernel(z_ref, var_ref, lvf_ref, nf_ref, mu_ref,
+                      lm_ref, lj_ref, gm_ref, gj_ref,
+                      dz_ref, dlv_ref, dz_acc, dlv_acc,
+                      *, iw_c: dict, tj: int, ti: int):
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dz_acc[:] = jnp.zeros_like(dz_acc)
+        dlv_acc[:] = jnp.zeros_like(dlv_acc)
+
+    z, var, lvf = z_ref[:], var_ref[:], lvf_ref[:]
+    iw = _iw_block(pl.program_id(0), i, tj, ti, iw_c)
+    dp, diff = _dp_block(z, var, lvf, mu_ref[:], iw,
+                         lm_ref[:], lj_ref[:], gm_ref[:], gj_ref[:])
+    dz_acc[:] += jnp.sum(-dp * diff / var[:, None, :], axis=1)
+    # d p_raw / d logvar = -0.5*(1 - diff^2/var), zero where var floored
+    dlv_acc[:] += nf_ref[:] * jnp.sum(
+        dp * (-0.5) * (1.0 - diff * diff / var[:, None, :]), axis=1
+    )
+
+    @pl.when(i == ni - 1)
+    def _finalize():
+        dz_ref[:] = dz_acc[:]
+        dlv_ref[:] = dlv_acc[:]
+
+
+def _tc_bwd_dmu_kernel(mu_ref, z_ref, var_ref, lvf_ref,
+                       lm_ref, lj_ref, gm_ref, gj_ref,
+                       dmu_ref, dmu_acc,
+                       *, iw_c: dict, tj: int, ti: int):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dmu_acc[:] = jnp.zeros_like(dmu_acc)
+
+    z, var, lvf = z_ref[:], var_ref[:], lvf_ref[:]
+    iw = _iw_block(j, pl.program_id(0), tj, ti, iw_c)  # rows=j, cols=i
+    dp, diff = _dp_block(z, var, lvf, mu_ref[:], iw,
+                         lm_ref[:], lj_ref[:], gm_ref[:], gj_ref[:])
+    dmu_acc[:] += jnp.sum(dp * diff / var[:, None, :], axis=0)  # sum over j
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        dmu_ref[:] = dmu_acc[:]
+
+
+def _tc_pallas_bwd_raw(z, mu, logvar, dataset_size: int, lm, lj, g_m, g_j,
+                       interpret: bool = False):
+    """Fused backward. lm: [B, Z] marginal logsumexps, lj: [B] joint,
+    g_m: [B] grad wrt prodmarginals (broadcast over l by the sum), g_j: [B]."""
     b, zdim = z.shape
     tj, ti = _pick_tiles(b)
     nj, ni = b // tj, b // ti
 
     var = jnp.maximum(jnp.exp(logvar), _VAR_FLOOR)
     lvf = jnp.log(var)
-    log_iw = log_importance_weight_matrix(b, dataset_size)
+    not_floored = (jnp.exp(logvar) > _VAR_FLOOR).astype(jnp.float32)
+    iw_c = _iw_consts(b, dataset_size)
+    lj2 = lj[:, None]
+    gm2 = g_m[:, None]
+    gj2 = g_j[:, None]
+
+    f32 = jnp.float32
+    args = (z.astype(f32), var.astype(f32), lvf.astype(f32), not_floored,
+            mu.astype(f32), lm.astype(f32), lj2.astype(f32),
+            gm2.astype(f32), gj2.astype(f32))
+
+    # kernel 1: grid (nj, ni) — accumulate over i, outputs indexed by j
+    j_spec = lambda bs: pl.BlockSpec(bs, lambda j, i: (j, 0), memory_space=pltpu.VMEM)
+    i_spec = lambda bs: pl.BlockSpec(bs, lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+    dz, dlv = pl.pallas_call(
+        functools.partial(_tc_bwd_dz_kernel, iw_c=iw_c, tj=tj, ti=ti),
+        grid=(nj, ni),
+        in_specs=[
+            j_spec((tj, zdim)), j_spec((tj, zdim)), j_spec((tj, zdim)),
+            j_spec((tj, zdim)),
+            i_spec((ti, zdim)),
+            j_spec((tj, zdim)), j_spec((tj, 1)), j_spec((tj, 1)), j_spec((tj, 1)),
+        ],
+        out_specs=[j_spec((tj, zdim)), j_spec((tj, zdim))],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, zdim), f32),
+            jax.ShapeDtypeStruct((b, zdim), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tj, zdim), f32), pltpu.VMEM((tj, zdim), f32)],
+        interpret=interpret,
+    )(*args)
+
+    # kernel 2: grid (ni, nj) — accumulate over j, outputs indexed by i.
+    # Same tile split with roles swapped (tj tiles of j are the inner
+    # reduction; mu tiles of size ti are the output blocks).
+    mu_spec = lambda bs: pl.BlockSpec(bs, lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    jj_spec = lambda bs: pl.BlockSpec(bs, lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    (z32, var32, lvf32, _nf, mu32, lm32, lj32, gm32, gj32) = args
+    dmu = pl.pallas_call(
+        functools.partial(_tc_bwd_dmu_kernel, iw_c=iw_c, tj=tj, ti=ti),
+        grid=(ni, nj),
+        in_specs=[
+            mu_spec((ti, zdim)),
+            jj_spec((tj, zdim)), jj_spec((tj, zdim)), jj_spec((tj, zdim)),
+            jj_spec((tj, zdim)), jj_spec((tj, 1)), jj_spec((tj, 1)), jj_spec((tj, 1)),
+        ],
+        out_specs=mu_spec((ti, zdim)),
+        out_shape=jax.ShapeDtypeStruct((b, zdim), f32),
+        scratch_shapes=[pltpu.VMEM((ti, zdim), f32)],
+        interpret=interpret,
+    )(mu32, z32, var32, lvf32, lm32, lj32, gm32, gj32)
+
+    return dz.astype(z.dtype), dmu.astype(mu.dtype), dlv.astype(logvar.dtype)
+
+
+def _tc_pallas_raw(z, mu, logvar, dataset_size: int, interpret: bool = False,
+                   return_residuals: bool = False):
+    b, zdim = z.shape
+    tj, ti = _pick_tiles(b)
+    nj, ni = b // tj, b // ti
+
+    var = jnp.maximum(jnp.exp(logvar), _VAR_FLOOR)
+    lvf = jnp.log(var)
+    iw_c = _iw_consts(b, dataset_size)
 
     grid = (nj, ni)
     lm, lj = pl.pallas_call(
-        _tc_fwd_kernel,
+        functools.partial(_tc_fwd_kernel, iw_c=iw_c, tj=tj, ti=ti),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tj, zdim), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tj, zdim), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tj, zdim), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ti, zdim), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tj, ti), lambda j, i: (j, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tj, zdim), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
@@ -127,10 +300,12 @@ def _tc_pallas_raw(z, mu, logvar, dataset_size: int, interpret: bool = False):
         ],
         interpret=interpret,
     )(z.astype(jnp.float32), var.astype(jnp.float32), lvf.astype(jnp.float32),
-      mu.astype(jnp.float32), log_iw)
+      mu.astype(jnp.float32))
 
     logqz_prodmarginals = jnp.sum(lm, axis=1)
     log_qz = lj[:, 0]
+    if return_residuals:
+        return (logqz_prodmarginals, log_qz), (lm, lj[:, 0])
     return logqz_prodmarginals, log_qz
 
 
@@ -141,18 +316,15 @@ def tc_logsumexp_pallas(z, mu, logvar, dataset_size: int):
 
 
 def _tc_fwd(z, mu, logvar, dataset_size: int):
-    out = _tc_pallas_raw(z, mu, logvar, dataset_size)
-    return out, (z, mu, logvar)
+    out, (lm, lj) = _tc_pallas_raw(z, mu, logvar, dataset_size,
+                                   return_residuals=True)
+    return out, (z, mu, logvar, lm, lj)
 
 
 def _tc_bwd(dataset_size: int, res, grads):
-    from intro_tc_vae_tpu.ops.tc import tc_logsumexp_blockwise
-
-    z, mu, logvar = res
-    _, vjp = jax.vjp(
-        lambda a, b, c: tc_logsumexp_blockwise(a, b, c, dataset_size), z, mu, logvar
-    )
-    return vjp(grads)
+    z, mu, logvar, lm, lj = res
+    g_pm, g_qz = grads  # grads wrt (prodmarginals [B], log_qz [B])
+    return _tc_pallas_bwd_raw(z, mu, logvar, dataset_size, lm, lj, g_pm, g_qz)
 
 
 tc_logsumexp_pallas.defvjp(_tc_fwd, _tc_bwd)

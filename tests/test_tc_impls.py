@@ -73,3 +73,33 @@ class TestPallasInterpret:
         assert _pick_tiles(256) == (8, 128)
         tj, ti = _pick_tiles(64)
         assert 64 % tj == 0 and 64 % ti == 0
+
+    def test_fused_backward_matches_xla_grads(self, inputs):
+        """Custom-VJP Pallas backward kernels vs XLA autodiff grads."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        z, mu, logvar = inputs
+        # include values that exercise the -50 clamp + var floor masks
+        logvar = logvar * 4.0
+
+        def tc_from(pm_qz):
+            pm, qz = pm_qz
+            return jnp.mean(qz - pm) + 0.5 * jnp.sum(pm) * 1e-3
+
+        def f_xla(a, m, l):
+            lp = ops.gaussian_log_density_nll(
+                a[:, None, :], m[None, :, :], l[:, None, :]
+            )
+            return tc_from(ops.minibatch_stratified_sampling(lp, a.shape[0], N))
+
+        g_ref = jax.grad(f_xla, argnums=(0, 1, 2))(z, mu, logvar)
+
+        with pltpu.force_tpu_interpret_mode():
+            g_pal = jax.grad(
+                lambda a, m, l: tc_from(tc_pallas.tc_logsumexp_pallas(a, m, l, N)),
+                argnums=(0, 1, 2),
+            )(z, mu, logvar)
+
+        for a, b in zip(g_ref, g_pal):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
