@@ -1,0 +1,107 @@
+"""bf16 compute path, seed reproducibility, and quirk-fix coverage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intro_tc_vae_tpu.data import Synthetic
+from intro_tc_vae_tpu.models import Decoder, Encoder, SoftIntroVAE
+from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
+
+SMALL = dict(cdim=3, zdim=8, channels=(8, 16), image_size=32)
+
+
+def build(solver="intro_tc", dtype=None, clip=None, tc_impl="xla"):
+    dataset = Synthetic(image_size=32, cdim=3, sizes=(2, 2, 2, 2))
+    s = make_solver(
+        solver,
+        dataset=dataset,
+        encoder=Encoder(arch="res", dtype=dtype, **SMALL),
+        decoder=Decoder(arch="res", dtype=dtype, **SMALL),
+        batch_size=8,
+        optimizer_e=make_optimizer("adam", 2e-4),
+        optimizer_d=make_optimizer("adam", 2e-4),
+        beta_kl=0.5,
+        beta_rec=0.75,
+        beta_neg=64.0,
+        clip=clip,
+        tc_impl=tc_impl,
+    )
+    batch = jnp.asarray(dataset.get_batch(np.arange(8)))
+    return s, s.init_state(jax.random.key(0), batch), batch
+
+
+class TestBf16:
+    def test_model_heads_stay_fp32(self):
+        model = SoftIntroVAE(arch="res", dtype=jnp.bfloat16, **SMALL)
+        x = jnp.zeros((2, 32, 32, 3))
+        variables = model.init(
+            {"params": jax.random.key(0), "reparam": jax.random.key(1)}, x
+        )
+        (mu, logvar, z, rec), _ = model.apply(
+            variables, x, False, True, mutable=["batch_stats"],
+            rngs={"reparam": jax.random.key(2)},
+        )
+        assert mu.dtype == jnp.float32 and logvar.dtype == jnp.float32
+        assert rec.dtype == jnp.float32
+        # params stay fp32 master copies
+        for leaf in jax.tree_util.tree_leaves(variables["params"]):
+            assert leaf.dtype == jnp.float32
+
+    def test_intro_tc_step_runs_bf16(self):
+        solver, state, batch = build(dtype=jnp.bfloat16)
+        state, metrics = solver._step_fn(state, batch)
+        state, metrics = solver._step_fn(state, batch)
+        for k in ("loss_enc", "loss_dec", "expelbo_f"):
+            assert np.isfinite(float(metrics[k])), k
+
+
+class TestReproducibility:
+    def test_same_seed_same_losses(self, tmp_path):
+        from intro_tc_vae_tpu.config import Config
+        from intro_tc_vae_tpu.train import train_soft_intro_vae
+
+        def run():
+            config = Config(
+                solver="vae", dataset="synthetic_small", batch_size=16,
+                num_epochs=1, seed=123, z_dim=8, save_interval=1000,
+                checkpoint_dir=str(tmp_path / "saves"), data_parallel=1,
+            )
+            state = train_soft_intro_vae(config)
+            return jax.tree_util.tree_leaves(state.params)[0]
+
+        a, b = np.asarray(run()), np.asarray(run())
+        np.testing.assert_array_equal(a, b)
+
+
+class TestQuirkFixes:
+    def test_intro_without_clip_has_no_L2_and_runs(self):
+        """Reference quirk Q3: IntroSolver with clip=None raised NameError
+        on the 'L2' return; here the step simply omits the metric."""
+        solver, state, batch = build("intro", clip=None)
+        _, metrics = solver._step_fn(state, batch)
+        assert "L2" not in metrics
+        assert np.isfinite(float(metrics["loss_enc"]))
+
+    def test_solver_with_blockwise_tc(self):
+        solver, state, batch = build("tc", tc_impl="blockwise")
+        _, metrics = solver._step_fn(state, batch)
+        assert np.isfinite(float(metrics["loss_kl"]))
+
+    def test_tc_full_kl_kind(self):
+        dataset = Synthetic(image_size=32, cdim=3, sizes=(2, 2, 2, 2))
+        solver = make_solver(
+            "tc",
+            dataset=dataset,
+            encoder=Encoder(arch="res", **SMALL),
+            decoder=Decoder(arch="res", **SMALL),
+            batch_size=8,
+            optimizer_e=make_optimizer("adam", 2e-4),
+            optimizer_d=make_optimizer("adam", 2e-4),
+            kl_kind="tc_full",
+        )
+        batch = jnp.asarray(dataset.get_batch(np.arange(8)))
+        state = solver.init_state(jax.random.key(0), batch)
+        _, metrics = solver._step_fn(state, batch)
+        assert np.isfinite(float(metrics["loss_kl"]))
