@@ -31,7 +31,7 @@ NORTH_STAR = 20000.0
 
 
 def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc",
-         tc_impl="xla", iters=ITERS):
+         tc_impl="xla", iters=ITERS, scan=1):
     from intro_tc_vae_tpu.data import Synthetic
     from intro_tc_vae_tpu.models import Decoder, Encoder
     from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
@@ -57,24 +57,29 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
         beta_neg=512.0,
         gamma_r=1e-8,
         tc_impl=tc_impl,
+        scan_steps=scan,
     )
 
     x = jnp.asarray(dataset.get_batch(np.arange(batch) % len(dataset)))
     state = solver.init_state(jax.random.key(0), x)
+    if scan > 1:
+        x = jnp.broadcast_to(x[None], (scan, *x.shape))
 
-    # warmup / compile
+    # warmup / compile. NOTE: on the axon tunnel block_until_ready returns
+    # before execution finishes; only a host value fetch forces the chain,
+    # so timing brackets use float() fetches of chain-dependent values.
     for _ in range(WARMUP):
         state, metrics = solver._step_fn(state, x)
-    jax.block_until_ready(metrics["loss_enc"])
+    last = float(metrics["loss_enc"])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = solver._step_fn(state, x)
-    jax.block_until_ready(metrics["loss_enc"])
+    last = float(metrics["loss_enc"])  # depends on every prior step's state
     dt = time.perf_counter() - t0
 
-    assert bool(jnp.isfinite(metrics["loss_enc"])), "non-finite loss in bench"
-    imgs_per_sec = batch * iters / dt
+    assert np.isfinite(last), "non-finite loss in bench"
+    imgs_per_sec = batch * scan * iters / dt
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
         "value": round(imgs_per_sec, 1),
@@ -91,5 +96,7 @@ if __name__ == "__main__":
     ap.add_argument("--solver", default="intro_tc")
     ap.add_argument("--tc-impl", default="xla")
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--scan", type=int, default=1,
+                    help="fuse K steps per dispatch (lax.scan)")
     a = ap.parse_args()
-    main(a.batch, a.image_size, a.arch, a.solver, a.tc_impl, a.iters)
+    main(a.batch, a.image_size, a.arch, a.solver, a.tc_impl, a.iters, a.scan)

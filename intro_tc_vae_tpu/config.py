@@ -52,6 +52,7 @@ class Config:
     tc_impl: str = "xla"        # 'xla' | 'blockwise' | 'pallas' TC kernel
     kl_kind: Optional[str] = None  # override: 'gaussian' | 'tc' | 'tc_full'
     data_parallel: int = 0      # 0 = all local devices; N = mesh size
+    scan_steps: int = 1         # fuse K train steps into one XLA program
     data_root: Optional[str] = None
     checkpoint_dir: str = "./saves"
     log_dir: Optional[str] = None

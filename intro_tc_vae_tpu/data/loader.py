@@ -47,6 +47,7 @@ class DeviceLoader:
         seed: int = 0,
         pre_process: Optional[Callable] = None,
         include_labels: bool = False,
+        stack_steps: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,21 +57,27 @@ class DeviceLoader:
         self.prefetch = max(1, prefetch)
         self.pre_process = pre_process
         self.include_labels = include_labels
+        self.stack_steps = max(1, int(stack_steps))
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        per_epoch = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return per_epoch // self.stack_steps if self.stack_steps > 1 else per_epoch
 
     def _index_batches(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(order)
-        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        for start in range(0, stop, self.batch_size):
-            yield order[start : start + self.batch_size]
+        chunk = self.batch_size * self.stack_steps
+        if self.stack_steps > 1:
+            stop = (n // chunk) * chunk  # scan groups need full chunks
+        else:
+            stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, chunk):
+            yield order[start : start + chunk]
 
     def _make_batch(self, idx: np.ndarray):
         if hasattr(self.dataset, "get_batch"):
@@ -79,6 +86,8 @@ class DeviceLoader:
             imgs = np.stack([self.dataset[i][0] for i in idx], axis=0)
         if self.pre_process is not None:
             imgs = self.pre_process(imgs)
+        if self.stack_steps > 1:  # [K*B, ...] -> [K, B, ...] for lax.scan
+            imgs = imgs.reshape(self.stack_steps, self.batch_size, *imgs.shape[1:])
         batch = jax.device_put(imgs, self.sharding)
         if self.include_labels:
             labels = np.stack([self.dataset.latents_values[i] for i in idx], axis=0) \

@@ -35,9 +35,14 @@ def make_mesh(
     return Mesh(grid, axis_names=("data", "model"))
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard axis 0 (batch) over 'data'; replicate the rest."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+def batch_sharding(mesh: Mesh, ndim: int = 4, batch_axis: int = 0) -> NamedSharding:
+    """Shard the batch axis over 'data'; replicate the rest.
+
+    batch_axis=1 with ndim=5 covers scan-stacked batches [K, B, H, W, C].
+    """
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -155,6 +155,26 @@ def decode(decoder, params_d, stats_d, z, train: bool = True):
     return y, upd["batch_stats"]
 
 
+def _scan_steps(step_fn: Callable, k: int) -> Callable:
+    """Fuse k train steps into one XLA program via lax.scan.
+
+    The per-step launch/dispatch latency (significant for small batches:
+    the intro step is ~13 small network passes) is paid once per k steps.
+    Input batch shape becomes [k, B, ...]; returned metrics are the LAST
+    step's (device-resident, like the unscanned step).
+    """
+
+    def scanned(state, batches):
+        def body(st, b):
+            st, m = step_fn(st, b)
+            return st, m
+
+        state, ms = jax.lax.scan(body, state, batches)
+        return state, jax.tree_util.tree_map(lambda v: v[-1], ms)
+
+    return scanned
+
+
 # ---------------------------------------------------------------------------
 # host-side solver wrapper
 # ---------------------------------------------------------------------------
@@ -187,6 +207,7 @@ class VAESolver:
         clip: Optional[float] = None,
         tc_impl: str = "xla",
         kl_kind: Optional[str] = None,
+        scan_steps: int = 1,
         mesh=None,
         batch_sharding=None,
     ):
@@ -226,7 +247,11 @@ class VAESolver:
         except (NotImplementedError, AttributeError):
             pass  # plain (non-factor) dataset: no disentanglement metrics
 
-        self._step_fn = jax.jit(self.build_step(), donate_argnums=(0,))
+        self.scan_steps = int(scan_steps)
+        step = self.build_step()
+        if self.scan_steps > 1:
+            step = _scan_steps(step, self.scan_steps)
+        self._step_fn = jax.jit(step, donate_argnums=(0,))
         self._eval_encode = None
 
     # -- construction -----------------------------------------------------
@@ -271,7 +296,8 @@ class VAESolver:
         new_state, metrics = self._step_fn(state, batch)
 
         if self.writer is not None:
-            self._write_step_metrics(new_state, batch, metrics, cur_iter)
+            vis_batch = batch[-1] if self.scan_steps > 1 else batch
+            self._write_step_metrics(new_state, vis_batch, metrics, cur_iter)
         return new_state, metrics
 
     def check_finite(self, metrics):

@@ -83,7 +83,11 @@ def train_soft_intro_vae(config: Config):
         print(f"data-parallel auto-shrunk to {n_data}/{n_avail} devices "
               f"(batch_size {config.batch_size})")
     mesh = make_mesh(n_data)
-    b_sharding = batch_sharding(mesh)
+    scan_steps = max(1, config.scan_steps)
+    b_sharding = (
+        batch_sharding(mesh, ndim=5, batch_axis=1)
+        if scan_steps > 1 else batch_sharding(mesh)
+    )
 
     # ----- model (reference train.py:105-117) -----
     dtype = jnp.bfloat16 if config.precision == "bf16" else None
@@ -112,6 +116,7 @@ def train_soft_intro_vae(config: Config):
         prefetch=max(1, config.num_workers),
         seed=seed,
         pre_process=check_range,
+        stack_steps=scan_steps,
     )
 
     # ----- solver (reference train.py:163-192) -----
@@ -133,6 +138,7 @@ def train_soft_intro_vae(config: Config):
         clip=config.clip,
         tc_impl=config.tc_impl,
         kl_kind=config.kl_kind,
+        scan_steps=scan_steps,
         mesh=mesh,
         batch_sharding=b_sharding,
     )
@@ -185,9 +191,9 @@ def train_soft_intro_vae(config: Config):
                         last_epoch_loss += LossDict(loss_dict)
                 pending = metrics
 
-                if config.profile and cur_iter == 50:
+                if config.profile and cur_iter >= 50:
                     break
-                cur_iter += 1
+                cur_iter += scan_steps
                 SingletonWriter().cur_iter = cur_iter
         if pending is not None:
             loss_dict = {k: float(pending[k]) for k in
@@ -203,6 +209,8 @@ def train_soft_intro_vae(config: Config):
             break
 
         if epoch == config.num_epochs - 1 and batch is not None:
+            if scan_steps > 1:
+                batch = batch[-1]  # last step's batch for the sample grid
             noise = jax.random.normal(
                 jax.random.fold_in(root_key, cur_iter),
                 (batch.shape[0], config.z_dim),

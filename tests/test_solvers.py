@@ -17,7 +17,7 @@ from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
 SMALL = dict(cdim=3, zdim=8, channels=(8, 16), image_size=32)
 
 
-def make_small_solver(name, clip=None, **kw):
+def make_small_solver(name, clip=None, scan_steps=1, **kw):
     dataset = Synthetic(image_size=32, cdim=3, sizes=(2, 2, 2, 2))
     encoder = Encoder(arch="res", **SMALL)
     decoder = Decoder(arch="res", **SMALL)
@@ -35,6 +35,7 @@ def make_small_solver(name, clip=None, **kw):
         beta_neg=64.0,
         gamma_r=1e-8,
         clip=clip,
+        scan_steps=scan_steps,
         **kw,
     )
     return solver, dataset
@@ -122,6 +123,35 @@ def test_intro_tc_uses_tc_kl():
     _, m1 = s_intro._step_fn(st1, batch)
     _, m2 = s_tc._step_fn(st2, batch)
     assert not np.isclose(float(m1["loss_enc"]), float(m2["loss_enc"]))
+
+
+def test_scan_steps_equals_sequential_steps():
+    """K scanned steps must produce exactly the same state as K sequential
+    single-step calls (same batches, same RNG stream)."""
+    import jax.numpy as jnp
+
+    solver1, dataset = make_small_solver("vae")
+    solver_k, _ = make_small_solver("vae", scan_steps=3)
+    b0 = jnp.asarray(dataset.get_batch(np.arange(4)))
+    b1 = jnp.asarray(dataset.get_batch(np.arange(4, 8)))
+    b2 = jnp.asarray(dataset.get_batch(np.arange(8, 12)))
+
+    s = solver1.init_state(jax.random.key(5), b0)
+    for b in (b0, b1, b2):
+        s, m_seq = solver1._step_fn(s, b)
+
+    sk = solver_k.init_state(jax.random.key(5), b0)
+    stacked = jnp.stack([b0, b1, b2])
+    sk, m_scan = solver_k._step_fn(sk, stacked)
+
+    np.testing.assert_allclose(
+        float(m_seq["loss_enc"]), float(m_scan["loss_enc"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(s.params),
+                    jax.tree_util.tree_leaves(sk.params)):
+        # scan vs unrolled XLA programs fuse differently: fp-noise only
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
 
 
 def test_bad_solver_name():

@@ -86,9 +86,12 @@ def test_train_with_tensorboard_writes_everything(tmp_path):
 
     from intro_tc_vae_tpu.utils.tb_reader import TensorboardReader
 
+    import time
+
     run_dirs = list((tmp_path / "runs").iterdir())
     assert run_dirs, "no TB run directory written"
     run = run_dirs[0]
+    time.sleep(0.5)  # tensorboardX sub-writers flush asynchronously
     reader = TensorboardReader(str(tmp_path / "runs"), run.name)
 
     # base event: per-step scalars + MIG + reconstruction images
