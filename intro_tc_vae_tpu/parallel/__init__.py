@@ -15,5 +15,16 @@ from intro_tc_vae_tpu.parallel.mesh import (
     replicated_sharding,
     shard_state,
 )
+from intro_tc_vae_tpu.parallel.distributed import (
+    initialize_distributed,
+    local_batch_slice,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_state"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_state",
+    "initialize_distributed",
+    "local_batch_slice",
+]
