@@ -149,10 +149,18 @@ def train_soft_intro_vae(config: Config):
     print(f"{num_params(state.params):,} Parameters")
 
     start_epoch = config.start_epoch
-    if config.resume:
-        state, resumed_epoch = load_checkpoint(config.resume, state)
+    prefix = config.fingerprint()
+    resume_path = config.resume
+    if resume_path == "auto":  # crash recovery: newest matching checkpoint
+        from intro_tc_vae_tpu.utils.checkpoint import find_latest_checkpoint
+
+        resume_path = find_latest_checkpoint(config.checkpoint_dir, prefix)
+        if resume_path is None:
+            print("resume=auto: no checkpoint found, starting fresh")
+    if resume_path:
+        state, resumed_epoch = load_checkpoint(resume_path, state)
         start_epoch = max(start_epoch, resumed_epoch)
-        print(f"resumed from {config.resume} at epoch {start_epoch}")
+        print(f"resumed from {resume_path} at epoch {start_epoch}")
 
     # ----- epoch loop (reference train.py:194-242) -----
     from tqdm import tqdm
@@ -160,7 +168,6 @@ def train_soft_intro_vae(config: Config):
     last_epoch_loss = LossDict()
     cur_iter = 0
     timer = StepTimer()
-    prefix = config.fingerprint()
     batch = None
 
     for epoch in range(start_epoch, config.num_epochs):

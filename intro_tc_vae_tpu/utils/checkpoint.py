@@ -90,6 +90,23 @@ def load_checkpoint(path: str, target_state: Optional[Any] = None):
     return new_state, int(restored["epoch"])
 
 
+def find_latest_checkpoint(checkpoint_dir: str, prefix: str = "") -> Optional[str]:
+    """Newest checkpoint (by iteration) matching the run's hparam prefix —
+    powers ``resume: "auto"`` crash recovery."""
+    import re
+
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    best, best_iter = None, -1
+    pattern = re.compile(re.escape(prefix) + r"model_epoch_(\d+)_iter_(\d+)$")
+    for name in os.listdir(checkpoint_dir):
+        m = pattern.match(name)
+        if m and int(m.group(2)) > best_iter:
+            best_iter = int(m.group(2))
+            best = os.path.join(checkpoint_dir, name)
+    return best
+
+
 def load_model(state: Any, path: str):
     """Params/batch_stats-only restore into an existing state (the
     analogue of reference load_model's strict=False state_dict load)."""

@@ -88,6 +88,33 @@ class TestCheckpoint:
                         jax.tree_util.tree_leaves(restored.opt_state_e)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_find_latest_checkpoint(self, tmp_path):
+        from intro_tc_vae_tpu.utils.checkpoint import find_latest_checkpoint
+
+        solver, state, batch = self._make_solver_state()
+        save_checkpoint(state, 1, 10, "run_", checkpoint_dir=str(tmp_path))
+        save_checkpoint(state, 5, 50, "run_", checkpoint_dir=str(tmp_path))
+        save_checkpoint(state, 2, 99, "other_", checkpoint_dir=str(tmp_path))
+        latest = find_latest_checkpoint(str(tmp_path), "run_")
+        assert latest.endswith("run_model_epoch_5_iter_50")
+        assert find_latest_checkpoint(str(tmp_path), "nope_") is None
+        assert find_latest_checkpoint(str(tmp_path / "missing")) is None
+
+    def test_auto_resume_in_train_loop(self, tmp_path):
+        from intro_tc_vae_tpu.config import Config
+        from intro_tc_vae_tpu.train import train_soft_intro_vae
+
+        base = dict(
+            solver="vae", dataset="synthetic_small", batch_size=16,
+            num_epochs=2, seed=11, z_dim=8, save_interval=1,
+            checkpoint_dir=str(tmp_path / "saves"), data_parallel=1,
+        )
+        train_soft_intro_vae(Config(**base))  # writes epoch checkpoints
+        # resume=auto picks up the newest checkpoint and continues
+        state = train_soft_intro_vae(Config(**{**base, "num_epochs": 3,
+                                               "resume": "auto"}))
+        assert int(state.step) > 0
+
     def test_load_model_params_only(self, tmp_path):
         solver, state, batch = self._make_solver_state()
         path = save_checkpoint(state, 0, 0, "m_", checkpoint_dir=str(tmp_path))
