@@ -110,6 +110,8 @@ def _resolve_informativeness_estimator(params: dict):
         try:
             from xgboost import XGBClassifier
 
+            if not hasattr(XGBClassifier, "fit"):  # stubbed module
+                raise ImportError("xgboost stub")
             # CUDA-only knobs from the reference config are normalized to
             # portable ones (quirk Q13).
             estimator_params.pop("gpu_id", None)

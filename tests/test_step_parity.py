@@ -37,7 +37,10 @@ def ref_mods():
 
     # Stub reference-only imports missing in this env (quirk Q6 and the
     # xgboost/torchvision dependencies of its evaluation/data modules —
-    # none are exercised by the solver math under test).
+    # none are exercised by the solver math under test). Stubs are
+    # removed at teardown so later tests see the real import errors.
+    stubbed: list[str] = []
+
     def stub(name, **attrs):
         if name in sys.modules:
             return sys.modules[name]
@@ -45,6 +48,7 @@ def ref_mods():
         for k, v in attrs.items():
             setattr(m, k, v)
         sys.modules[name] = m
+        stubbed.append(name)
         return m
 
     stub("black", out=None)
@@ -75,10 +79,12 @@ def ref_mods():
         sw.writer, sw.cur_iter, sw.test_iter = None, 0, 10**9
     finally:
         sys.path.remove(REF)
-    return types.SimpleNamespace(
+    yield types.SimpleNamespace(
         models=ref_models, ops=ref_ops, vae=ref_vae, tc=ref_tc,
         intro=ref_intro, intro_tc=ref_intro_tc,
     )
+    for name in stubbed:  # don't leak stubs into later tests
+        sys.modules.pop(name, None)
 
 
 def _patch_ref_determinism(monkeypatch, ref_mods):
