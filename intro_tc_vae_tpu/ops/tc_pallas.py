@@ -48,10 +48,24 @@ from intro_tc_vae_tpu.ops.density import (
 _NEG_INF = float("-inf")
 
 
-def _pick_tiles(b: int) -> tuple[int, int]:
-    """(tile_j, tile_i): VMEM block is tile_j*tile_i*z floats; keep ~<=1MB."""
+def _pick_tiles(b: int, zdim: int = 128) -> tuple[int, int]:
+    """(tile_j, tile_i): the kernel's VMEM density block is
+    tile_j*tile_i*z floats. Defaults (8, 128) measured best on v5e;
+    override with ITCVAE_TC_TILES="tj,ti" for tuning."""
+    import os
+
+    override = os.environ.get("ITCVAE_TC_TILES")
+    if override:
+        tj, ti = (int(v) for v in override.split(","))
+        if b % tj == 0 and b % ti == 0:
+            return tj, ti
     tile_i = 128 if b % 128 == 0 else math.gcd(b, 128)
-    tile_j = 8 if b % 8 == 0 else math.gcd(b, 8)
+    # biggest j-tile (<=32) dividing b: measured on v5e, (32,128) beats
+    # (8,128) by ~25% fwd / ~35% bwd at large B (BENCHMARKS.md)
+    tile_j = next((t for t in (32, 16, 8) if b % t == 0), math.gcd(b, 8))
+    # keep the (tj, ti, z) fp32 density block within a ~2MB VMEM budget
+    while tile_j > 8 and tile_j * tile_i * zdim * 4 > 2 * 1024 * 1024:
+        tile_j //= 2
     return tile_j, tile_i
 
 
@@ -204,7 +218,7 @@ def _tc_pallas_bwd_raw(z, mu, logvar, dataset_size: int, lm, lj, g_m, g_j,
     """Fused backward. lm: [B, Z] marginal logsumexps, lj: [B] joint,
     g_m: [B] grad wrt prodmarginals (broadcast over l by the sum), g_j: [B]."""
     b, zdim = z.shape
-    tj, ti = _pick_tiles(b)
+    tj, ti = _pick_tiles(b, zdim)
     nj, ni = b // tj, b // ti
 
     var = jnp.maximum(jnp.exp(logvar), _VAR_FLOOR)
@@ -267,7 +281,7 @@ def _tc_pallas_bwd_raw(z, mu, logvar, dataset_size: int, lm, lj, g_m, g_j,
 def _tc_pallas_raw(z, mu, logvar, dataset_size: int, interpret: bool = False,
                    return_residuals: bool = False):
     b, zdim = z.shape
-    tj, ti = _pick_tiles(b)
+    tj, ti = _pick_tiles(b, zdim)
     nj, ni = b // tj, b // ti
 
     var = jnp.maximum(jnp.exp(logvar), _VAR_FLOOR)

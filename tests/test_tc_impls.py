@@ -70,9 +70,12 @@ class TestPallasInterpret:
     def test_tile_picker(self):
         from intro_tc_vae_tpu.ops.tc_pallas import _pick_tiles
 
-        assert _pick_tiles(256) == (8, 128)
-        tj, ti = _pick_tiles(64)
+        assert _pick_tiles(256, 128) == (32, 128)
+        tj, ti = _pick_tiles(64, 128)
         assert 64 % tj == 0 and 64 % ti == 0
+        # VMEM budget shrinks the j-tile for wide latents
+        tj_wide, _ = _pick_tiles(256, 1024)
+        assert tj_wide * 128 * 1024 * 4 <= 2 * 1024 * 1024
 
     def test_fused_backward_matches_xla_grads(self, inputs):
         """Custom-VJP Pallas backward kernels vs XLA autodiff grads."""
