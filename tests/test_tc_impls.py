@@ -73,9 +73,10 @@ class TestPallasInterpret:
         assert _pick_tiles(256, 128) == (32, 128)
         tj, ti = _pick_tiles(64, 128)
         assert 64 % tj == 0 and 64 % ti == 0
-        # VMEM budget shrinks the j-tile for wide latents
-        tj_wide, _ = _pick_tiles(256, 1024)
-        assert tj_wide * 128 * 1024 * 4 <= 2 * 1024 * 1024
+        # VMEM budget shrinks the j-tile for wide latents (floor tj=8,
+        # the fp32 sublane minimum)
+        assert _pick_tiles(256, 1024)[0] == 8
+        assert _pick_tiles(256, 256)[0] == 16
 
     def test_fused_backward_matches_xla_grads(self, inputs):
         """Custom-VJP Pallas backward kernels vs XLA autodiff grads."""
