@@ -17,7 +17,7 @@ Design (vs reference solvers/vae.py):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Any, Callable, Optional
 
 import flax.struct

@@ -5,6 +5,10 @@ with the same filename-fingerprint scheme
 (./saves/{prefix}model_epoch_E_iter_I), plus a deliberate fix of
 reference quirk Q12: optimizer state IS checkpointed, so resume restores
 Adam moments.
+
+The PRNG key is intentionally NOT checkpointed: a resumed run continues
+with a fresh stream from the config seed (the reference restores no RNG
+state either — torch's global RNG simply keeps going).
 """
 
 from __future__ import annotations

@@ -77,6 +77,12 @@ class TestUkiyoEFixture:
         assert image_size == 64 and ch == 3 and channels == [64, 128, 256, 512]
         assert len(ds) == 5
 
+    def test_load_dataset_ukiyo128_resize_path(self):
+        ds, image_size, channels, ch = load_dataset("ukiyo_e128", data_root=DATA_DIR)
+        assert image_size == 128 and channels == [64, 128, 256, 512, 512]
+        img, _ = ds[0]
+        assert img.shape == (128, 128, 3)
+
     def test_unknown_dataset_raises(self):
         with pytest.raises(NotImplementedError):
             load_dataset("imagenet")

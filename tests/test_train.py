@@ -114,6 +114,11 @@ def test_train_with_tensorboard_writes_everything(tmp_path):
     except Exception:
         print("bvae_score skipped on this draw (degenerate labels)")
 
+    # hparams table written at the end of training (reference train.py:244)
+    hparams, metric_dict = reader.hparams
+    assert hparams.get("solver") is not None
+    assert metric_dict  # final-epoch mean losses
+
 
 def test_load_config_merge(tmp_path):
     p = tmp_path / "c.json"
