@@ -26,6 +26,7 @@ from intro_tc_vae_tpu.ops.density import (
     gaussian_log_density,
     gaussian_log_density_nll,
     minibatch_stratified_sampling,
+    minibatch_weighted_sampling,
 )
 
 
@@ -49,19 +50,28 @@ def total_correlation(
     dataset_size: int,
     reduce: str = "mean",
     impl: str = "xla",
+    sampling: str = "stratified",
 ) -> jax.Array:
-    """Minibatch-stratified estimate of the total correlation TC(z).
+    """Minibatch estimate of the total correlation TC(z).
 
     Args:
         z, mu, logvar: [B, z_dim] sampled latents and encoder moments.
-        dataset_size: static Python int, |dataset| for the stratified weights.
+        dataset_size: static Python int, |dataset| for the importance weights.
         reduce: 'mean' (scalar) or 'none' ([B] vector).
-        impl: 'xla' or 'pallas'.
+        impl: 'xla' | 'blockwise' | 'pallas'.
+        sampling: 'stratified' (what the reference executes, ops.py:84) or
+            'weighted' (minibatch-weighted variant, defined but unused
+            there — ops.py:92-101, quirk Q11; xla impl only).
 
     Reference: ops.py:52-89 (E_j[log q(z(x_j)) - log prod_l q(z(x_j)_l)]).
     """
     batch_size = z.shape[0]
-    if impl == "pallas":
+    if sampling == "weighted":
+        log_qz_prob = _pairwise_log_density(z, mu, logvar, variance_index="j")
+        log_qz_product, log_qz = minibatch_weighted_sampling(
+            log_qz_prob, batch_size, dataset_size
+        )
+    elif impl == "pallas":
         from intro_tc_vae_tpu.ops.tc_pallas import tc_logsumexp_pallas
 
         log_qz_product, log_qz = tc_logsumexp_pallas(z, mu, logvar, dataset_size)
