@@ -1,0 +1,117 @@
+"""Profile a solver train step on the current device and print the
+device-op-time breakdown (the TPU analogue of the reference's
+torch.autograd.profiler table, train.py:207-230).
+
+Usage:
+    python analysis/profile_step.py --solver intro_tc --batch 64 \
+        --image-size 64 --arch conv --z-dim 128 --steps 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import tempfile
+
+
+def trace_step(solver_name, batch, image_size, arch, zdim, steps, precision):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from intro_tc_vae_tpu.data import Synthetic
+    from intro_tc_vae_tpu.models import Decoder, Encoder
+    from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
+
+    channels = {64: (64, 128, 256, 512), 128: (64, 128, 256, 512, 512),
+                32: (16, 32)}[image_size]
+    dtype = jnp.bfloat16 if precision == "bf16" else None
+    ds = Synthetic(image_size=image_size, cdim=3, sizes=(4, 5, 8, 8))
+    kw = dict(cdim=3, zdim=zdim, channels=channels, image_size=image_size,
+              dtype=dtype)
+    solver = make_solver(
+        solver_name, dataset=ds,
+        encoder=Encoder(arch=arch, **kw), decoder=Decoder(arch=arch, **kw),
+        batch_size=batch,
+        optimizer_e=make_optimizer("adam", 2e-4),
+        optimizer_d=make_optimizer("adam", 2e-4),
+        beta_kl=0.5, beta_rec=0.75, beta_neg=512.0,
+    )
+    x = jnp.asarray(ds.get_batch(np.arange(batch) % len(ds)))
+    state = solver.init_state(jax.random.key(0), x)
+    state, m = solver._step_fn(state, x)
+    _ = float(m["loss_enc"])  # force compile + execution
+
+    trace_dir = tempfile.mkdtemp(prefix="itcvae-trace-")
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(steps):
+        state, m = solver._step_fn(state, x)
+    _ = float(m["loss_enc"])
+    jax.profiler.stop_trace()
+    return trace_dir
+
+
+def analyze(trace_dir: str, steps: int):
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        print(f"no trace files under {trace_dir}")
+        return
+    ev = json.loads(gzip.open(files[0]).read())["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "")
+            for e in ev if e.get("ph") == "M" and e.get("name") == "process_name"}
+    device_pids = {p for p, n in pids.items() if "device" in n.lower()}
+
+    skip = ("trace", "py:", "jit_", "Pjit", "asarray")
+    cat = collections.Counter()
+    top = collections.Counter()
+    total = 0
+    for e in ev:
+        if e.get("ph") != "X" or "dur" not in e or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        if name in ("0", "1", "2") or name.startswith("$") or any(s in name for s in skip):
+            continue
+        total += e["dur"]
+        top[name] += e["dur"]
+        if "convert_reduce" in name or "reduce" in name:
+            cat["reduce (BN statistics)"] += e["dur"]
+        elif "fusion" in name:
+            cat["fusion (conv + elementwise)"] += e["dur"]
+        elif "copy" in name or "transpose" in name:
+            cat["copy/transpose"] += e["dur"]
+        else:
+            cat["other"] += e["dur"]
+
+    if total == 0:
+        print("no device op events found (CPU traces name processes "
+              "differently; op breakdown is TPU-oriented)")
+        return
+    print(f"device op-time: {total/steps/1e3:.2f} ms/step")
+    for k, v in cat.most_common():
+        print(f"  {k:30s} {v/steps/1e3:7.2f} ms/step  {100*v/total:5.1f}%")
+    print("top individual ops (per step):")
+    for n, d in top.most_common(10):
+        print(f"  {d/steps/1e3:7.2f} ms  {n[:90]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--solver", default="intro_tc")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--image-size", type=int, default=64)
+    ap.add_argument("--arch", default="conv")
+    ap.add_argument("--z-dim", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--precision", default="bf16")
+    args = ap.parse_args()
+    trace_dir = trace_step(args.solver, args.batch, args.image_size, args.arch,
+                           args.z_dim, args.steps, args.precision)
+    print(f"trace: {trace_dir} (open in TensorBoard's profile plugin for the full view)")
+    analyze(trace_dir, args.steps)
+
+
+if __name__ == "__main__":
+    main()
