@@ -87,22 +87,26 @@ class LatentGenerator:
         return _cartesian([np.arange(i) for i in self.factor_sizes])
 
     def sample_factors_of_variation(self, batch_size: int) -> np.ndarray:
-        factors = np.zeros((batch_size, self.num_latents))
-        for pos, idx in enumerate(self.latent_indices):
-            factors[:, pos] = self._sample_factors(idx, batch_size)
-        return factors
+        """[batch, num_latents] uniform draws, vectorized over columns."""
+        highs = np.asarray([self.factor_sizes[i] for i in self.latent_indices])
+        return self.random_state.randint(
+            highs, size=(batch_size, self.num_latents)
+        ).astype(np.float64)
 
     def sample_all_factors(self, latent_factors: np.ndarray) -> np.ndarray:
-        """Fill in any non-varied ('observed') factors with random values
-        (reference generator.py:99-130)."""
-        if self.num_observed_factors > 0:
-            num_samples = len(latent_factors)
-            all_factors = np.zeros((num_samples, self.num_factors))
-            all_factors[:, self.latent_indices] = latent_factors
-            for idx in self.observed_factor_indices:
-                all_factors[:, idx] = self._sample_factors(idx, num_samples)
-            return all_factors
-        return latent_factors
+        """Fill any non-varied ('observed') factor columns with uniform
+        draws (reference generator.py:99-130), vectorized."""
+        if self.num_observed_factors == 0:
+            return latent_factors
+        num_samples = len(latent_factors)
+        all_factors = np.zeros((num_samples, self.num_factors))
+        all_factors[:, self.latent_indices] = latent_factors
+        obs = self.observed_factor_indices
+        highs = np.asarray([self.factor_sizes[i] for i in obs])
+        all_factors[:, obs] = self.random_state.randint(
+            highs, size=(num_samples, len(obs))
+        )
+        return all_factors
 
     def sample_observations_from_factors(self, factors: np.ndarray) -> np.ndarray:
         """Factor batch -> float32 [B, H, W, C] observation batch."""
