@@ -68,12 +68,22 @@ def load_checkpoint(path: str, target_state: Optional[Any] = None):
     namedtuples) and a new TrainState is returned alongside the epoch.
     Without it, the raw payload dict is returned.
     """
+    import logging
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         if target_state is None:
-            return ckptr.restore(path)
+            # targetless restore is fine for our own payloads; quiet the
+            # (accurate but noisy) absl warning about it
+            logger = logging.getLogger("absl")
+            level = logger.level
+            logger.setLevel(logging.ERROR)
+            try:
+                return ckptr.restore(path)
+            finally:
+                logger.setLevel(level)
         abstract = {
             "epoch": np.asarray(0),
             "step": np.asarray(target_state.step),

@@ -87,6 +87,20 @@ class TestUkiyoEFixture:
         with pytest.raises(NotImplementedError):
             load_dataset("imagenet")
 
+    def test_singleface_filename_column_preferred(self):
+        """The reference reads 'singleface_filename' (dataset.py:215);
+        when a CSV provides it, it wins over the positional 'filename'."""
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "Painter": ["A", "B"],
+            "filename": ["missing1.jpg", "missing2.jpg"],
+            "singleface_filename": ["00000001.jpg", "00000002.jpg"],
+        })
+        ds = UkiyoE(os.path.join(DATA_DIR, "arc_extracted_face_images"), df,
+                    "Painter", resize=64)
+        assert len(ds) == 2  # resolved via singleface_filename
+
 
 class TestDeviceLoader:
     def test_epoch_batches(self):

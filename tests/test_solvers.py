@@ -45,6 +45,27 @@ def get_batch(dataset, n=4):
     return jnp.asarray(dataset.get_batch(np.arange(n)))
 
 
+@pytest.mark.parametrize("arch", ["conv", "inception"])
+def test_intro_tc_step_other_archs(arch):
+    """Solver step smoke for the non-res block architectures."""
+    dataset = Synthetic(image_size=32, cdim=3, sizes=(2, 2, 2, 2))
+    solver = make_solver(
+        "intro_tc",
+        dataset=dataset,
+        encoder=Encoder(arch=arch, **SMALL),
+        decoder=Decoder(arch=arch, **SMALL),
+        batch_size=4,
+        optimizer_e=make_optimizer("adam", 2e-4),
+        optimizer_d=make_optimizer("adam", 2e-4),
+        beta_neg=16.0,
+    )
+    batch = get_batch(dataset)
+    state = solver.init_state(jax.random.key(0), batch)
+    _, metrics = solver._step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss_enc"]))
+    assert np.isfinite(float(metrics["loss_dec"]))
+
+
 @pytest.mark.parametrize("name", ["vae", "tc", "intro", "intro_tc"])
 def test_solver_step_runs_and_updates(name):
     solver, dataset = make_small_solver(name)
