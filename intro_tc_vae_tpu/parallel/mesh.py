@@ -27,6 +27,10 @@ def make_mesh(
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_devices:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} available"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if n % model_parallel != 0:
