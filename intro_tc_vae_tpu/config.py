@@ -37,7 +37,9 @@ class Config:
     gamma_r: float = 1e-8
 
     use_tensorboard: bool = False
-    use_amp: bool = True        # bf16 compute on TPU (reference AMP was a no-op, Q1)
+    use_amp: bool = True        # accepted for config parity but IGNORED, matching
+                                # the reference where AMP was dead code (quirk Q1);
+                                # precision='bf16' is the explicit knob
     profile: bool = False
     clip: Optional[float] = None
     anomaly_detection: bool = False

@@ -7,8 +7,9 @@ around jitted train steps and a prefetching device loader.
 
 TPU-first differences:
 * device selection is a mesh (config.data_parallel), not a cuda index;
-* config.use_amp maps to bf16 model compute (the reference's AMP flag was
-  dead code — quirk Q1); config.precision overrides explicitly;
+* config.use_amp is accepted but ignored, matching the reference where the
+  AMP flag was dead code (quirk Q1); config.precision='bf16' is the
+  explicit mixed-precision knob;
 * config.anomaly_detection enables jax_debug_nans + input-range asserts;
 * config.profile captures a jax.profiler trace of iters 0-50 and stops,
   like the reference's torch profiler break (train.py:207-230);
@@ -157,16 +158,21 @@ def train_soft_intro_vae(config: Config):
         resume_path = find_latest_checkpoint(config.checkpoint_dir, prefix)
         if resume_path is None:
             print("resume=auto: no checkpoint found, starting fresh")
+    cur_iter = 0
     if resume_path:
         state, resumed_epoch = load_checkpoint(resume_path, state)
         start_epoch = max(start_epoch, resumed_epoch)
-        print(f"resumed from {resume_path} at epoch {start_epoch}")
+        # Continue the global step count: checkpoint names and TensorBoard
+        # global_step must keep increasing across resumes, or a second
+        # resume='auto' would rank a stale pre-crash checkpoint as newest.
+        cur_iter = int(jax.device_get(state.step))
+        SingletonWriter().cur_iter = cur_iter
+        print(f"resumed from {resume_path} at epoch {start_epoch} iter {cur_iter}")
 
     # ----- epoch loop (reference train.py:194-242) -----
     from tqdm import tqdm
 
     last_epoch_loss = LossDict()
-    cur_iter = 0
     timer = StepTimer()
     batch = None
 

@@ -105,18 +105,19 @@ def load_checkpoint(path: str, target_state: Optional[Any] = None):
 
 
 def find_latest_checkpoint(checkpoint_dir: str, prefix: str = "") -> Optional[str]:
-    """Newest checkpoint (by iteration) matching the run's hparam prefix —
-    powers ``resume: "auto"`` crash recovery."""
+    """Newest checkpoint (by epoch, then iteration) matching the run's
+    hparam prefix — powers ``resume: "auto"`` crash recovery."""
     import re
 
     if not os.path.isdir(checkpoint_dir):
         return None
-    best, best_iter = None, -1
+    best, best_key = None, (-1, -1)
     pattern = re.compile(re.escape(prefix) + r"model_epoch_(\d+)_iter_(\d+)$")
     for name in os.listdir(checkpoint_dir):
         m = pattern.match(name)
-        if m and int(m.group(2)) > best_iter:
-            best_iter = int(m.group(2))
+        key = (int(m.group(1)), int(m.group(2))) if m else None
+        if key is not None and key > best_key:
+            best_key = key
             best = os.path.join(checkpoint_dir, name)
     return best
 

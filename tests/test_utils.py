@@ -99,6 +99,11 @@ class TestCheckpoint:
         assert latest.endswith("run_model_epoch_5_iter_50")
         assert find_latest_checkpoint(str(tmp_path), "nope_") is None
         assert find_latest_checkpoint(str(tmp_path / "missing")) is None
+        # epoch outranks iter: a later epoch with a smaller iter (the
+        # post-resume situation) must win over a stale pre-crash checkpoint
+        save_checkpoint(state, 6, 10, "run_", checkpoint_dir=str(tmp_path))
+        latest = find_latest_checkpoint(str(tmp_path), "run_")
+        assert latest.endswith("run_model_epoch_6_iter_10")
 
     def test_auto_resume_in_train_loop(self, tmp_path):
         from intro_tc_vae_tpu.config import Config
@@ -109,11 +114,21 @@ class TestCheckpoint:
             num_epochs=2, seed=11, z_dim=8, save_interval=1,
             checkpoint_dir=str(tmp_path / "saves"), data_parallel=1,
         )
-        train_soft_intro_vae(Config(**base))  # writes epoch checkpoints
+        from intro_tc_vae_tpu.utils.checkpoint import find_latest_checkpoint
+
+        first = train_soft_intro_vae(Config(**base))  # writes epoch checkpoints
         # resume=auto picks up the newest checkpoint and continues
         state = train_soft_intro_vae(Config(**{**base, "num_epochs": 3,
                                                "resume": "auto"}))
-        assert int(state.step) > 0
+        assert int(state.step) > int(first.step)
+        # the global step count continues across the resume: the newest
+        # checkpoint's iter must reflect the TOTAL steps, not restart at 0
+        cfg = Config(**base)
+        latest = find_latest_checkpoint(str(tmp_path / "saves"),
+                                        cfg.fingerprint())
+        import re
+        m = re.search(r"_iter_(\d+)$", latest)
+        assert int(m.group(1)) == int(state.step)
 
     def test_load_model_params_only(self, tmp_path):
         solver, state, batch = self._make_solver_state()
