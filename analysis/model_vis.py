@@ -1,7 +1,7 @@
 """Model visualization (ModelVis.ipynb equivalent, reference component #15).
 
 Loads a checkpoint, encodes a dataset, and produces:
-* 2-D latent projections (PCA / t-SNE / LDA) colored by label,
+* 2-D latent projections (PCA / t-SNE / LDA / UMAP) colored by label,
 * per-dimension latent traversals (-5..5),
 * pairwise interpolations between real images.
 
@@ -76,6 +76,12 @@ def plot_projections(z, labels, out_dir):
         )
     except Exception as e:
         print("lda skipped:", e)
+    try:  # reference ModelVis.ipynb "Apply UMAP" cell; umap-learn is optional
+        from umap import UMAP
+
+        projs["umap"] = UMAP(n_components=2).fit_transform(z)
+    except Exception as e:
+        print("umap skipped (install umap-learn to enable):", e)
     for name, p in projs.items():
         fig, ax = plt.subplots(figsize=(6, 6))
         sc = ax.scatter(p[:, 0], p[:, 1], c=color, s=4, cmap="tab20")

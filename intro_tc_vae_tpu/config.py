@@ -54,7 +54,11 @@ class Config:
     tc_impl: str = "xla"        # 'xla' | 'blockwise' | 'pallas' TC kernel
     kl_kind: Optional[str] = None  # override: 'gaussian' | 'tc' | 'tc_full'
     data_parallel: int = 0      # 0 = all local devices; N = mesh size
+    model_parallel: int = 1     # tensor-parallel mesh axis size
     scan_steps: int = 1         # fuse K train steps into one XLA program
+    fuse_passes: bool = True    # pair the intro step's independent passes
+                                # into 2x-batch calls (per-group BN stats;
+                                # numerics-identical, see solvers/intro.py)
     data_root: Optional[str] = None
     checkpoint_dir: str = "./saves"
     log_dir: Optional[str] = None

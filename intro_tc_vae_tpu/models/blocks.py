@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from intro_tc_vae_tpu.models.init import torch_bias_init, torch_kernel_init
@@ -54,10 +55,86 @@ def conv(out_ch: int, kernel: int, *, use_bias: bool = False, in_ch: int | None 
     )
 
 
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm with flax/torch-matching numerics plus *grouped* statistics.
+
+    With ``groups=1`` this reproduces ``nn.BatchNorm`` exactly (same param /
+    batch_stats names+shapes, fp32 stats, fast-variance, same EMA update).
+
+    With ``groups=G`` the batch axis is treated as a concatenation of G
+    equal sub-batches: statistics are computed and applied **per group**,
+    and the running averages receive the G per-group EMA updates composed
+    sequentially in group order. This makes one batch-G*B network pass
+    numerically identical (per sample) to G sequential batch-B passes —
+    the enabler for pairing the Soft-Intro step's independent passes into
+    larger, MXU-friendlier calls (solvers/intro.py) without changing the
+    reference's per-pass BN semantics (reference models.py train-mode BN).
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, groups: int = 1):
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (feat,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (feat,)
+        )
+        scale = self.param("scale", nn.initializers.ones, (feat,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), self.param_dtype)
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value  # [C]
+            y = (x - mean) * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
+        elif groups == 1:
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+            axes = tuple(range(x.ndim - 1))
+            mean = xf.mean(axes)
+            mu2 = jax.lax.square(xf).mean(axes)
+            var = jnp.maximum(0.0, mu2 - jax.lax.square(mean))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+            y = (x - mean) * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
+        else:
+            b = x.shape[0]
+            assert b % groups == 0, f"batch {b} not divisible by groups {groups}"
+            xg = x.reshape(groups, b // groups, *x.shape[1:])
+            xf = xg.astype(jnp.promote_types(x.dtype, jnp.float32))
+            axes = tuple(range(1, xg.ndim - 1))
+            mean = xf.mean(axes)                         # [G, C]
+            mu2 = jax.lax.square(xf).mean(axes)
+            var = jnp.maximum(0.0, mu2 - jax.lax.square(mean))
+            if not self.is_initializing():
+                m = self.momentum
+                rm, rv = ra_mean.value, ra_var.value
+                for g in range(groups):  # sequential per-pass EMA composition
+                    rm = m * rm + (1 - m) * mean[g]
+                    rv = m * rv + (1 - m) * var[g]
+                ra_mean.value, ra_var.value = rm, rv
+            bshape = (groups,) + (1,) * (xg.ndim - 2) + (feat,)
+            y = (xg - mean.reshape(bshape)) * (
+                jax.lax.rsqrt(var.reshape(bshape) + self.epsilon) * scale
+            ) + bias
+            y = y.reshape(x.shape)
+
+        # result dtype matches flax _normalize: canonicalize(x, scale, bias,
+        # dtype=self.dtype) — self.dtype when set, else the promoted fp32.
+        out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        return y.astype(out_dtype)
+
+
 def batch_norm(train: bool, *, eps: float = 1e-5, dtype: Any = None,
-               name: str | None = None) -> nn.BatchNorm:
+               name: str | None = None) -> GroupedBatchNorm:
     """BatchNorm matching torch semantics (momentum 0.1 torch == 0.9 flax)."""
-    return nn.BatchNorm(
+    return GroupedBatchNorm(
         use_running_average=not train,
         momentum=0.9,
         epsilon=eps,
@@ -90,13 +167,13 @@ class ConvolutionalBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, groups: int = 1):
         midc = int(self.outc * self.scale)
         y = conv(midc, 3, dtype=self.dtype, name="conv1")(x)
-        y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="bn1")(y)
+        y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="bn1")(y, groups)
         y = leaky_relu(y)
         y = conv(self.outc, 3, dtype=self.dtype, name="conv2")(y)
-        y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="bn2")(y)
+        y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="bn2")(y, groups)
         return leaky_relu(y)
 
 
@@ -114,17 +191,17 @@ class ResidualBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, groups: int = 1):
         midc = int(self.outc * self.scale)
         if self.inc != self.outc:
             identity = conv(self.outc, 1, dtype=self.dtype, name="conv_expand")(x)
         else:
             identity = x
         y = conv(midc, 3, dtype=self.dtype, name="conv1")(x)
-        y = batch_norm(train, dtype=self.dtype, name="bn1")(y)
+        y = batch_norm(train, dtype=self.dtype, name="bn1")(y, groups)
         y = leaky_relu(y)
         y = conv(self.outc, 3, dtype=self.dtype, name="conv2")(y)
-        y = batch_norm(train, dtype=self.dtype, name="bn2")(y)
+        y = batch_norm(train, dtype=self.dtype, name="bn2")(y, groups)
         return leaky_relu(y + identity)
 
 
@@ -137,9 +214,9 @@ class Conv2dBatchNorm(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, groups: int = 1):
         y = conv(self.outc, self.kernel, dtype=self.dtype, name="conv")(x)
-        y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="batch_norm")(y)
+        y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="batch_norm")(y, groups)
         return leaky_relu(y)
 
 
@@ -156,7 +233,7 @@ class InceptionResnetBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, groups: int = 1):
         assert self.outc % 2 == 0
         midc = int(self.outc * self.scale)
         if self.inc != self.outc:
@@ -164,11 +241,13 @@ class InceptionResnetBlock(nn.Module):
         else:
             identity = x
         x0 = Conv2dBatchNorm(self.inc, self.outc // 2, dtype=self.dtype, name="branch_0")(
-            x, train
+            x, train, groups
         )
-        x1 = Conv2dBatchNorm(self.inc, midc, dtype=self.dtype, name="branch_1_0")(x, train)
+        x1 = Conv2dBatchNorm(self.inc, midc, dtype=self.dtype, name="branch_1_0")(
+            x, train, groups
+        )
         x1 = Conv2dBatchNorm(midc, self.outc // 2, dtype=self.dtype, name="branch_1_1")(
-            x1, train
+            x1, train, groups
         )
         y = jnp.concatenate([x0, x1], axis=-1)
         y = conv(self.outc, 1, use_bias=True, in_ch=self.outc, dtype=self.dtype,

@@ -77,22 +77,22 @@ class Encoder(nn.Module):
         return conv_output_size(self.image_size, self.channels)
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True):
+    def __call__(self, x: jax.Array, train: bool = True, groups: int = 1):
         block = get_conv_class(self.arch)
         cc = self.channels[0]
 
         y = conv(cc, 5, dtype=self.dtype, name="stem_conv")(x)
-        y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="stem_bn")(y)
+        y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="stem_bn")(y, groups)
         y = leaky_relu(y)
         y = avg_pool2(y)
 
         sz = self.image_size // 2
         for i, ch in enumerate(self.channels[1:]):
-            y = block(cc, ch, dtype=self.dtype, name=f"res_in_{sz}")(y, train)
+            y = block(cc, ch, dtype=self.dtype, name=f"res_in_{sz}")(y, train, groups)
             y = avg_pool2(y)
             cc, sz = ch, sz // 2
 
-        y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}")(y, train)
+        y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}")(y, train, groups)
 
         h, w, c = self.conv_output_size
         num_fc_features = h * w * c
@@ -115,7 +115,7 @@ class Decoder(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, z: jax.Array, train: bool = True):
+    def __call__(self, z: jax.Array, train: bool = True, groups: int = 1):
         block = get_conv_class(self.arch)
         cc = self.channels[-1]
         cis = self.conv_input_size or conv_output_size(self.image_size, self.channels)
@@ -128,11 +128,11 @@ class Decoder(nn.Module):
 
         sz = cis[0]
         for ch in self.channels[::-1]:
-            y = block(cc, ch, dtype=self.dtype, name=f"res_in_{sz}")(y, train)
+            y = block(cc, ch, dtype=self.dtype, name=f"res_in_{sz}")(y, train, groups)
             y = upsample_nearest2(y)
             cc, sz = ch, sz * 2
 
-        y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}")(y, train)
+        y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}")(y, train, groups)
         y = conv(self.cdim, 5, use_bias=True, in_ch=cc, dtype=self.dtype,
                  name="predict")(y)
         # sigmoid + reconstruction losses in fp32 (bf16 conv compute stays

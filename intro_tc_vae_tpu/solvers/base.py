@@ -137,19 +137,24 @@ def clip_by_global_norm(tree, max_norm: float):
 # model application helpers (explicit batch_stats threading)
 # ---------------------------------------------------------------------------
 
-def encode(encoder, params_e, stats_e, x, train: bool = True):
-    """Run the encoder, returning (mu, logvar, updated_batch_stats)."""
+def encode(encoder, params_e, stats_e, x, train: bool = True, groups: int = 1):
+    """Run the encoder, returning (mu, logvar, updated_batch_stats).
+
+    groups > 1 treats the batch as a concat of equal sub-batches with
+    per-group BatchNorm statistics (see models.blocks.GroupedBatchNorm) —
+    numerically identical to `groups` sequential calls.
+    """
     (mu, logvar), upd = encoder.apply(
-        {"params": params_e, "batch_stats": stats_e}, x, train,
+        {"params": params_e, "batch_stats": stats_e}, x, train, groups,
         mutable=["batch_stats"],
     )
     return mu, logvar, upd["batch_stats"]
 
 
-def decode(decoder, params_d, stats_d, z, train: bool = True):
+def decode(decoder, params_d, stats_d, z, train: bool = True, groups: int = 1):
     """Run the decoder, returning (image, updated_batch_stats)."""
     y, upd = decoder.apply(
-        {"params": params_d, "batch_stats": stats_d}, z, train,
+        {"params": params_d, "batch_stats": stats_d}, z, train, groups,
         mutable=["batch_stats"],
     )
     return y, upd["batch_stats"]
@@ -210,6 +215,7 @@ class VAESolver:
         scan_steps: int = 1,
         mesh=None,
         batch_sharding=None,
+        fuse_passes: bool = True,
     ):
         self.dataset = dataset
         self.encoder = encoder
@@ -221,6 +227,9 @@ class VAESolver:
         self.test_iter = test_iter
         self.mesh = mesh
         self.batch_sharding = batch_sharding
+        # pair the intro step's independent passes into 2x-batch calls with
+        # per-group BN stats (see solvers/intro.py); no-op for vae/tc steps
+        self.fuse_passes = fuse_passes
 
         image_size = encoder.image_size
         cdim = encoder.cdim

@@ -43,8 +43,21 @@ from intro_tc_vae_tpu.solvers.base import (
 sg = jax.lax.stop_gradient
 
 
-def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d):
-    """Build the jitted two-phase (state, batch) -> (state, metrics) step."""
+def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d,
+                     paired: bool = True):
+    """Build the jitted two-phase (state, batch) -> (state, metrics) step.
+
+    paired=True batches each phase's independent same-network passes into
+    one call of twice the batch — phase E becomes enc(real) ->
+    dec([noise; z]) -> enc([rec'; fake']) -> dec([z_rec; z_fake]), phase D
+    becomes dec([noise; z']) -> enc([rec; fake]) -> dec([z_rec'; z_fake'])
+    — with per-group BatchNorm statistics (GroupedBatchNorm), so every
+    sample sees exactly the statistics/normalization it would in the
+    reference's sequential pass order (intro.py:56-196) while the MXU
+    runs at 2x the batch. Numerics match the unpaired step to float
+    round-off (tests/test_solvers.py); running stats compose in the
+    reference's per-network pass order.
+    """
 
     def step(state: TrainState, batch) -> tuple[TrainState, dict]:
         rng, k_noise, k_real, k_rec_e, k_fake_e, k_rec_d, k_fake_d = (
@@ -56,22 +69,46 @@ def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d):
         # ================= Phase E: update encoder =======================
         def loss_e(params_e, params_d, stats):
             se, sd = stats["encoder"], stats["decoder"]
-            fake, sd = decode(decoder, params_d, sd, noise)
+            if paired:
+                mu, logvar, se = encode(encoder, params_e, se, batch)
+                z = ops.reparameterize(k_real, mu, logvar)
+                # decoder pass-group order (noise, z) == reference
+                # dec(noise) ... dec(z) sequence (intro.py:71,75)
+                fz, sd = decode(decoder, params_d, sd,
+                                jnp.concatenate([noise, z]), groups=2)
+                fake, rec = jnp.split(fz, 2)
 
-            mu, logvar, se = encode(encoder, params_e, se, batch)
-            z = ops.reparameterize(k_real, mu, logvar)
-            rec, sd = decode(decoder, params_d, sd, z)
+                loss_rec = rec_term(h, batch, rec, reduction="mean")
+                lossE_real_kl, kl_unscaled = kl_term(h, z, mu, logvar)
 
-            loss_rec = rec_term(h, batch, rec, reduction="mean")
-            lossE_real_kl, kl_unscaled = kl_term(h, z, mu, logvar)
+                mus, logvars, se = encode(
+                    encoder, params_e, se, sg(jnp.concatenate([rec, fake])),
+                    groups=2,
+                )
+                rec_mu, fake_mu = jnp.split(mus, 2)
+                rec_logvar, fake_logvar = jnp.split(logvars, 2)
+                z_rec = ops.reparameterize(k_rec_e, rec_mu, rec_logvar)
+                z_fake = ops.reparameterize(k_fake_e, fake_mu, fake_logvar)
+                rr, sd = decode(decoder, params_d, sd,
+                                jnp.concatenate([z_rec, z_fake]), groups=2)
+                rec_rec, rec_fake = jnp.split(rr, 2)
+            else:
+                fake, sd = decode(decoder, params_d, sd, noise)
 
-            rec_mu, rec_logvar, se = encode(encoder, params_e, se, sg(rec))
-            z_rec = ops.reparameterize(k_rec_e, rec_mu, rec_logvar)
-            rec_rec, sd = decode(decoder, params_d, sd, z_rec)
+                mu, logvar, se = encode(encoder, params_e, se, batch)
+                z = ops.reparameterize(k_real, mu, logvar)
+                rec, sd = decode(decoder, params_d, sd, z)
 
-            fake_mu, fake_logvar, se = encode(encoder, params_e, se, sg(fake))
-            z_fake = ops.reparameterize(k_fake_e, fake_mu, fake_logvar)
-            rec_fake, sd = decode(decoder, params_d, sd, z_fake)
+                loss_rec = rec_term(h, batch, rec, reduction="mean")
+                lossE_real_kl, kl_unscaled = kl_term(h, z, mu, logvar)
+
+                rec_mu, rec_logvar, se = encode(encoder, params_e, se, sg(rec))
+                z_rec = ops.reparameterize(k_rec_e, rec_mu, rec_logvar)
+                rec_rec, sd = decode(decoder, params_d, sd, z_rec)
+
+                fake_mu, fake_logvar, se = encode(encoder, params_e, se, sg(fake))
+                z_fake = ops.reparameterize(k_fake_e, fake_mu, fake_logvar)
+                rec_fake, sd = decode(decoder, params_d, sd, z_fake)
 
             kl_rec, _ = kl_term(h, z_rec, rec_mu, rec_logvar,
                                 reduce="none", beta=h.beta_neg)
@@ -118,17 +155,38 @@ def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d):
 
         def loss_d(params_d, params_e, stats):
             se, sd = stats["encoder"], stats["decoder"]
-            fake, sd = decode(decoder, params_d, sd, noise)
-            rec, sd = decode(decoder, params_d, sd, z_detached)
-            loss_rec = rec_term(h, batch, rec, reduction="mean")
+            if paired:
+                fr, sd = decode(decoder, params_d, sd,
+                                jnp.concatenate([noise, z_detached]), groups=2)
+                fake, rec = jnp.split(fr, 2)
+                loss_rec = rec_term(h, batch, rec, reduction="mean")
 
-            rec_mu, rec_logvar, se = encode(encoder, params_e, se, rec)
-            z_rec = ops.reparameterize(k_rec_d, rec_mu, rec_logvar)
-            fake_mu, fake_logvar, se = encode(encoder, params_e, se, fake)
-            z_fake = ops.reparameterize(k_fake_d, fake_mu, fake_logvar)
+                # encoder pass-group order (rec, fake) == reference
+                # enc(rec) ... enc(fake) sequence (intro.py:128-132)
+                mus, logvars, se = encode(
+                    encoder, params_e, se, jnp.concatenate([rec, fake]),
+                    groups=2,
+                )
+                rec_mu, fake_mu = jnp.split(mus, 2)
+                rec_logvar, fake_logvar = jnp.split(logvars, 2)
+                z_rec = ops.reparameterize(k_rec_d, rec_mu, rec_logvar)
+                z_fake = ops.reparameterize(k_fake_d, fake_mu, fake_logvar)
 
-            rec_rec, sd = decode(decoder, params_d, sd, sg(z_rec))
-            rec_fake, sd = decode(decoder, params_d, sd, sg(z_fake))
+                rr, sd = decode(decoder, params_d, sd,
+                                sg(jnp.concatenate([z_rec, z_fake])), groups=2)
+                rec_rec, rec_fake = jnp.split(rr, 2)
+            else:
+                fake, sd = decode(decoder, params_d, sd, noise)
+                rec, sd = decode(decoder, params_d, sd, z_detached)
+                loss_rec = rec_term(h, batch, rec, reduction="mean")
+
+                rec_mu, rec_logvar, se = encode(encoder, params_e, se, rec)
+                z_rec = ops.reparameterize(k_rec_d, rec_mu, rec_logvar)
+                fake_mu, fake_logvar, se = encode(encoder, params_e, se, fake)
+                z_fake = ops.reparameterize(k_fake_d, fake_mu, fake_logvar)
+
+                rec_rec, sd = decode(decoder, params_d, sd, sg(z_rec))
+                rec_fake, sd = decode(decoder, params_d, sd, sg(z_fake))
 
             loss_rec_rec = rec_term(h, sg(rec), rec_rec, reduction="mean",
                                     beta=h.gamma_r * h.beta_rec)
@@ -205,4 +263,5 @@ class IntroSolver(VAESolver):
         return build_intro_step(
             self.hyper, self.encoder, self.decoder,
             self.optimizer_e, self.optimizer_d,
+            paired=self.fuse_passes,
         )

@@ -142,6 +142,7 @@ def train_soft_intro_vae(config: Config):
         scan_steps=scan_steps,
         mesh=mesh,
         batch_sharding=b_sharding,
+        fuse_passes=config.fuse_passes,
     )
 
     sample_shape = (1, image_size, image_size, ch)
