@@ -23,7 +23,8 @@ void gather_normalize_u8(const uint8_t* imgs, const int64_t* indices,
   for (int64_t i = 0; i < n_idx; ++i) {
     const uint8_t* src = imgs + indices[i] * img_elems;
     float* dst = out + i * img_elems;
-    for (int64_t k = 0; k < img_elems; ++k) dst[k] = src[k] * (1.0f / 255.0f);
+    // divide (not multiply-by-reciprocal) for bit parity with numpy's /255.0
+    for (int64_t k = 0; k < img_elems; ++k) dst[k] = src[k] / 255.0f;
   }
 }
 

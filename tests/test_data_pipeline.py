@@ -87,6 +87,31 @@ class TestUkiyoEFixture:
         with pytest.raises(NotImplementedError):
             load_dataset("imagenet")
 
+    def test_cached_batches_match_per_image_decode(self):
+        """The decoded-uint8 cache + native gather/resize path must produce
+        the same batches as the per-image load_image path (flip off)."""
+        kwargs = dict(category="Painter", resize=64)
+        root = os.path.join(DATA_DIR, "arc_extracted_face_images")
+        labels = UkiyoE.load_labels(DATA_DIR)
+        ds_cached = UkiyoE(root, labels, cache=True, **kwargs)
+        ds_plain = UkiyoE(root, labels, cache=False, **kwargs)
+        ds_cached.random_flip = ds_plain.random_flip = False
+        idx = np.array([0, 2, 4, 1])
+        a = ds_cached.get_batch(idx)
+        b = ds_plain.get_batch(idx)
+        assert a.shape == b.shape == (4, 64, 64, 3)
+        # the cache keeps PIL's final uint8 stage -> bit-exact
+        assert np.array_equal(a, b)
+
+    def test_cached_flip_draws_per_batch(self):
+        root = os.path.join(DATA_DIR, "arc_extracted_face_images")
+        ds = UkiyoE(root, UkiyoE.load_labels(DATA_DIR), "Painter",
+                    resize=64, cache=True)
+        ds._rng = np.random.RandomState(0)
+        batches = [ds.get_batch(np.array([0, 1, 2, 3])) for _ in range(8)]
+        # with p=0.5 flips, identical-index batches should not all be equal
+        assert any(not np.array_equal(batches[0], b) for b in batches[1:])
+
     def test_singleface_filename_column_preferred(self):
         """The reference reads 'singleface_filename' (dataset.py:215);
         when a CSV provides it, it wins over the positional 'filename'."""
