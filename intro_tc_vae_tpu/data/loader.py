@@ -88,7 +88,21 @@ class DeviceLoader:
             imgs = self.pre_process(imgs)
         if self.stack_steps > 1:  # [K*B, ...] -> [K, B, ...] for lax.scan
             imgs = imgs.reshape(self.stack_steps, self.batch_size, *imgs.shape[1:])
-        batch = jax.device_put(imgs, self.sharding)
+        if self.sharding is not None and jax.process_count() > 1:
+            # Multi-host: every process iterates the same global index order
+            # (same seed), keeps its own contiguous row block, and assembles
+            # the global data-sharded array from the local rows. Device order
+            # in make_mesh groups by process, so the block layout matches.
+            from intro_tc_vae_tpu.parallel.distributed import local_batch_slice
+
+            axis = 1 if self.stack_steps > 1 else 0
+            sl = local_batch_slice(imgs.shape[axis])
+            local = imgs[:, sl] if axis == 1 else imgs[sl]
+            batch = jax.make_array_from_process_local_data(
+                self.sharding, local, imgs.shape
+            )
+        else:
+            batch = jax.device_put(imgs, self.sharding)
         if self.include_labels:
             labels = np.stack([self.dataset.latents_values[i] for i in idx], axis=0) \
                 if hasattr(self.dataset, "latents_values") \

@@ -12,6 +12,7 @@ any hand-written communication.
 from intro_tc_vae_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    param_spec,
     replicated_sharding,
     shard_state,
 )
@@ -23,6 +24,7 @@ from intro_tc_vae_tpu.parallel.distributed import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "param_spec",
     "replicated_sharding",
     "shard_state",
     "initialize_distributed",

@@ -55,6 +55,16 @@ def train_soft_intro_vae(config: Config):
     if config.anomaly_detection:
         enable_anomaly_detection()
 
+    # ----- multi-host (TPU-native extension; reference is single-device,
+    # SURVEY §2.9) — no-op unless ITCVAE_COORDINATOR_ADDRESS / args say so
+    from intro_tc_vae_tpu.parallel import initialize_distributed
+
+    if initialize_distributed():
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+            f"{len(jax.local_devices())} local / {len(jax.devices())} global devices"
+        )
+
     # ----- data (reference train.py:56-92) -----
     train_set, image_size, channels, ch = load_dataset(
         config.dataset, data_root=config.data_root
@@ -71,19 +81,26 @@ def train_soft_intro_vae(config: Config):
     SingletonWriter().test_iter = max(1, len(train_set) // config.batch_size)
 
     # ----- mesh + sharding -----
+    mp = max(1, config.model_parallel)
     n_avail = config.data_parallel or len(jax.devices())
     if config.data_parallel and config.batch_size % config.data_parallel != 0:
         raise ValueError(
             f"batch_size {config.batch_size} not divisible by requested "
             f"data_parallel={config.data_parallel}"
         )
-    # auto mode: largest device count that divides the batch
-    n_data = next(n for n in range(min(n_avail, config.batch_size), 0, -1)
-                  if config.batch_size % n == 0)
-    if n_data != n_avail:
-        print(f"data-parallel auto-shrunk to {n_data}/{n_avail} devices "
-              f"(batch_size {config.batch_size})")
-    mesh = make_mesh(n_data)
+    if n_avail % mp != 0:
+        raise ValueError(
+            f"{n_avail} devices not divisible by model_parallel={mp}"
+        )
+    # auto mode: largest total device count whose data axis divides the batch
+    n_total = next(
+        n for n in range(n_avail, 0, -mp)
+        if n % mp == 0 and config.batch_size % (n // mp) == 0
+    )
+    if n_total != n_avail:
+        print(f"mesh auto-shrunk to {n_total}/{n_avail} devices "
+              f"(batch_size {config.batch_size}, model_parallel {mp})")
+    mesh = make_mesh(n_total, model_parallel=mp)
     scan_steps = max(1, config.scan_steps)
     b_sharding = (
         batch_sharding(mesh, ndim=5, batch_axis=1)

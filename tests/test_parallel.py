@@ -40,6 +40,7 @@ def test_batch_sharding_places_shards():
     assert len(xs.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_vae_step_dp8_matches_single_device():
     from intro_tc_vae_tpu.data import Synthetic
     from intro_tc_vae_tpu.models import Decoder, Encoder
@@ -86,6 +87,86 @@ def test_vae_step_dp8_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_tp2_dp4_intro_tc_matches_single_device():
+    """Tensor parallel is a config choice (SURVEY §2.9 TP row): with
+    model_parallel=2 the wide kernels are actually sharded over 'model'
+    (asserted), and the TP2xDP4 step matches single-device execution."""
+    from jax.sharding import PartitionSpec as P
+
+    from intro_tc_vae_tpu.data import Synthetic
+    from intro_tc_vae_tpu.models import Decoder, Encoder
+    from intro_tc_vae_tpu.parallel import param_spec
+    from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
+
+    small = dict(cdim=3, zdim=8, channels=(8, 16), image_size=32)
+    dataset = Synthetic(image_size=32, cdim=3, sizes=(2, 2, 2, 2))
+
+    def build():
+        return make_solver(
+            "intro_tc",
+            dataset=dataset,
+            encoder=Encoder(arch="res", **small),
+            decoder=Decoder(arch="res", **small),
+            batch_size=8,
+            optimizer_e=make_optimizer("adam", 2e-4),
+            optimizer_d=make_optimizer("adam", 2e-4),
+            beta_kl=0.5,
+            beta_rec=0.75,
+            beta_neg=64.0,
+        )
+
+    batch_np = dataset.get_batch(np.arange(8))
+
+    solver1 = build()
+    state1 = solver1.init_state(jax.random.key(0), jnp.asarray(batch_np))
+    s1, m1 = solver1._step_fn(state1, jnp.asarray(batch_np))
+
+    mesh = make_mesh(8, model_parallel=2)
+    solver_tp = build()
+    state_tp = shard_state(
+        solver_tp.init_state(jax.random.key(0), jnp.asarray(batch_np)),
+        mesh, min_dim=8,
+    )
+    # the partition rules must actually shard: encoder fc kernel on 'model'
+    fc_kernel = state_tp.params["encoder"]["fc"]["kernel"]
+    assert any(ax == "model" for ax in fc_kernel.sharding.spec)
+    conv_kernel = state_tp.params["decoder"]["predict"]["kernel"]
+    # narrow head (cdim=3 out channels) stays replicated
+    assert all(ax is None for ax in conv_kernel.sharding.spec)
+
+    batch_tp = jax.device_put(jnp.asarray(batch_np), batch_sharding(mesh))
+    s_tp, m_tp = solver_tp._step_fn(state_tp, batch_tp)
+
+    for k in ("loss_enc", "loss_dec", "loss_kl", "loss_rec"):
+        np.testing.assert_allclose(float(m1[k]), float(m_tp[k]), rtol=5e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s_tp.params)):
+        # sharded reductions reorder fp sums; Adam's rsqrt amplifies the
+        # tiny grad deltas at step 1 (second moments ~ 0), hence atol 5e-4
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+
+def test_param_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from intro_tc_vae_tpu.parallel import param_spec
+
+    mesh = make_mesh(8, model_parallel=2)
+    # wide conv kernel: out channels sharded
+    assert param_spec("a/kernel", (3, 3, 256, 512), mesh) == P(None, None, None, "model")
+    # narrow conv kernel: replicated
+    assert param_spec("a/kernel", (3, 3, 16, 32), mesh) == P()
+    # dense kernel: widest divisible dim
+    assert param_spec("fc/kernel", (1024, 256), mesh) == P("model", None)
+    # per-channel vector follows its conv
+    assert param_spec("bn/scale", (512,), mesh) == P("model")
+    # data-parallel-only mesh: everything replicated
+    assert param_spec("fc/kernel", (1024, 256), make_mesh(8)) == P()
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
