@@ -84,3 +84,20 @@ def encoder_fid(solver, state, real: np.ndarray, fake: np.ndarray,
         return mu
 
     return compute_fid(feature_fn, real, fake, batch_size=batch_size)
+
+
+def standard_fid(real: np.ndarray, fake: np.ndarray, batch_size: int = 64,
+                 weights_path: str | None = None) -> float | None:
+    """Canonical FID: InceptionV3-pool3 features (models/inception.py).
+
+    Returns None when no pretrained Inception weights are available
+    locally ($ITCVAE_INCEPTION_WEIGHTS / ~/.cache/itcvae/inception_v3.pth
+    — this build environment has no network egress); callers should fall
+    back to :func:`encoder_fid` and label the metric accordingly.
+    """
+    from intro_tc_vae_tpu.models.inception import inception_feature_fn
+
+    feature_fn = inception_feature_fn(weights_path)
+    if feature_fn is None:
+        return None
+    return compute_fid(feature_fn, real, fake, batch_size=batch_size)

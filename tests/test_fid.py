@@ -53,3 +53,102 @@ class TestComputeFid:
     def test_gaussian_moments_shapes(self, rng):
         mu, cov = gaussian_moments(rng.randn(100, 6))
         assert mu.shape == (6,) and cov.shape == (6, 6)
+
+
+class TestInceptionV3:
+    """Flax InceptionV3-pool3 trunk (models/inception.py) — structure and
+    torch-state-dict transplant mapping. Real pretrained weights are not
+    available offline (gated path), so the transplant test round-trips a
+    synthetic torch-format state_dict built from flax-initialized params."""
+
+    def _flax_to_torch_sd(self, params, stats):
+        """Inverse of load_torch_inception_weights' mapping."""
+        import torch
+
+        sd = {}
+
+        def walk(tree, prefix, kind):
+            for k, v in tree.items():
+                name = f"{prefix}.{k}" if prefix else k
+                if isinstance(v, dict):
+                    walk(v, name, kind)
+                elif kind == "params" and k == "kernel":
+                    sd[name.replace(".kernel", ".weight")] = torch.from_numpy(
+                        np.asarray(v).transpose(3, 2, 0, 1).copy())
+                elif kind == "params" and k == "scale":
+                    sd[name.replace(".scale", ".weight")] = torch.from_numpy(
+                        np.asarray(v).copy())
+                elif kind == "params" and k == "bias":
+                    sd[name] = torch.from_numpy(np.asarray(v).copy())
+                elif kind == "stats" and k == "mean":
+                    sd[name.replace(".mean", ".running_mean")] = \
+                        torch.from_numpy(np.asarray(v).copy())
+                elif kind == "stats" and k == "var":
+                    sd[name.replace(".var", ".running_var")] = \
+                        torch.from_numpy(np.asarray(v).copy())
+
+        walk(params, "", "params")
+        walk(stats, "", "stats")
+        return sd
+
+    @pytest.fixture(scope="class")
+    def model_and_vars(self):
+        import jax
+        import jax.numpy as jnp
+
+        from intro_tc_vae_tpu.models.inception import InceptionV3Features
+
+        model = InceptionV3Features(resize_input=False)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+        return model, variables
+
+    def test_feature_shape_and_param_count(self, model_and_vars):
+        import jax
+        import jax.numpy as jnp
+
+        model, variables = model_and_vars
+        feats = model.apply(variables, jnp.zeros((2, 299, 299, 3)))
+        assert feats.shape == (2, 2048)
+        n_params = sum(int(x.size) for x in
+                       jax.tree_util.tree_leaves(variables["params"]))
+        # torchvision inception_v3 trunk (no fc / aux): ~21.8M params
+        assert 21_000_000 < n_params < 23_000_000, n_params
+
+    def test_torch_state_dict_transplant_roundtrip(self, model_and_vars, tmp_path):
+        import jax.numpy as jnp
+        import torch
+
+        from intro_tc_vae_tpu.models.inception import (
+            inception_feature_fn,
+            load_torch_inception_weights,
+        )
+
+        model, variables = model_and_vars
+        sd = self._flax_to_torch_sd(variables["params"], variables["batch_stats"])
+        sd["fc.weight"] = torch.zeros(1000, 2048)  # ignored entries
+        sd["AuxLogits.conv0.conv.weight"] = torch.zeros(128, 768, 1, 1)
+        path = tmp_path / "inception_v3.pth"
+        torch.save(sd, path)
+
+        params, stats = load_torch_inception_weights(str(path))
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 75, 75, 3), jnp.float32)
+        ref = model.apply(variables, x)
+        out = model.apply({"params": params, "batch_stats": stats}, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        # end-to-end gated builder resolves the explicit path
+        fn = inception_feature_fn(str(path), batch_jit=False)
+        assert fn is not None
+        small = np.random.RandomState(1).rand(2, 32, 32, 3).astype(np.float32)
+        # resize_input path differs from our fixture model; just check shape
+        assert fn(small).shape == (2, 2048)
+
+    def test_gate_returns_none_without_weights(self, monkeypatch):
+        from intro_tc_vae_tpu.evaluation.fid import standard_fid
+        from intro_tc_vae_tpu.models import inception as inc
+
+        monkeypatch.delenv(inc.WEIGHTS_ENV, raising=False)
+        monkeypatch.setattr(inc, "DEFAULT_WEIGHTS", "/nonexistent/w.pth")
+        x = np.random.rand(4, 16, 16, 3).astype(np.float32)
+        assert standard_fid(x, x) is None
