@@ -9,6 +9,11 @@ the smoothed curves must track. Complements tests/test_step_parity.py
 
 Usage:
     python analysis/parity_curves.py --solver tc --steps 100 --out /tmp/parity
+
+Flagship-recipe stress run (VERDICT r1 item 4 — beta_neg=512 is where the
+expELBO numerics bite, reference solvers/intro.py:102-108):
+    python analysis/parity_curves.py --solver intro_tc --steps 300 \
+        --beta-neg 512 --z-dim 128
 """
 
 from __future__ import annotations
@@ -20,6 +25,10 @@ import sys
 import types
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:  # runnable as `python analysis/parity_curves.py`
+    sys.path.insert(0, _REPO)
 
 B, ZDIM, IMG = 16, 16, 32
 CHANNELS = (8, 16)
@@ -64,6 +73,24 @@ def import_reference(ref_path="/root/reference"):
                                  intro=ref_intro, intro_tc=ref_intro_tc)
 
 
+class _CaptureWriter:
+    """Minimal TB-writer stand-in: captures expelbo_f from the reference's
+    write_scalars (reference intro.py:166-174); everything else no-ops."""
+
+    def __init__(self):
+        self.expelbo_f = []
+
+    def add_scalars(self, tag, values, global_step=None):
+        if tag == "losses" and "expelbo_f" in values:
+            self.expelbo_f.append(float(values["expelbo_f"]))
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def flush(self):
+        pass
+
+
 class _LenOnly:
     def __init__(self, n):
         self.n = n
@@ -85,17 +112,30 @@ def run_reference(ref, solver_name, batches, dataset_size):
                   optimizer_e=opt_e, optimizer_d=opt_d, recon_loss_type="mse",
                   device=torch.device("cpu"), use_amp=False, grad_scaler=None,
                   writer=None, clip=1e9, **BETAS)
+    capture = None
+    if solver_name in ("intro", "intro_tc"):
+        capture = _CaptureWriter()
+        kwargs["writer"] = capture
     cls = {"vae": ref.vae.VAESolver, "tc": ref.tc.TCSovler,
            "intro": ref.intro.IntroSolver, "intro_tc": ref.intro_tc.IntroTCSovler}
     if solver_name in ("intro", "intro_tc"):
         kwargs.update(INTRO)
     solver = cls[solver_name](**kwargs)
+    if capture is not None:
+        # keep only the scalar capture; suppress image/score/grad-chart writes
+        solver.write_images = lambda *a, **k: None
+        solver.write_disentanglemnt_scores = lambda *a, **k: None
+        solver.write_gradient_flow = lambda *a, **k: None
+        solver.write_gradient_norm = lambda *a, **k: None
 
     curves = []
     for i, x in enumerate(batches):
         out = solver.train_step(torch.from_numpy(x), cur_iter=i)
-        curves.append({k: float(out[k]) for k in
-                       ("loss_enc", "loss_dec", "loss_kl", "loss_rec")})
+        row = {k: float(out[k]) for k in
+               ("loss_enc", "loss_dec", "loss_kl", "loss_rec")}
+        if capture is not None and capture.expelbo_f:
+            row["expelbo_f"] = capture.expelbo_f[-1]
+        curves.append(row)
     return model, curves
 
 
@@ -129,10 +169,10 @@ def run_ours(solver_name, tmodel, batches, dataset_size):
     state = base.replace(params=params, batch_stats=stats)
 
     curves = []
+    keys = ("loss_enc", "loss_dec", "loss_kl", "loss_rec", "expelbo_f")
     for x in batches:
         state, m = solver._step_fn(state, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
-        curves.append({k: float(m[k]) for k in
-                       ("loss_enc", "loss_dec", "loss_kl", "loss_rec")})
+        curves.append({k: float(m[k]) for k in keys if k in m})
     return curves
 
 
@@ -143,13 +183,18 @@ def smooth(xs, k=10):
 
 
 def main():
+    global ZDIM
     ap = argparse.ArgumentParser()
     ap.add_argument("--solver", default="tc",
                     choices=["vae", "tc", "intro", "intro_tc"])
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--out", default="/tmp/parity_curves")
     ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--beta-neg", type=float, default=INTRO["beta_neg"])
+    ap.add_argument("--z-dim", type=int, default=ZDIM)
     args = ap.parse_args()
+    ZDIM = args.z_dim
+    INTRO["beta_neg"] = args.beta_neg
     os.makedirs(args.out, exist_ok=True)
 
     import copy
@@ -182,7 +227,10 @@ def main():
     our_curves = run_ours(args.solver, _Snap(), batches, n)
 
     summary = {}
-    for key in ("loss_enc", "loss_rec", "loss_kl"):
+    keys = ["loss_enc", "loss_dec", "loss_rec", "loss_kl"]
+    if ref_curves and "expelbo_f" in ref_curves[0] and "expelbo_f" in our_curves[0]:
+        keys.append("expelbo_f")
+    for key in keys:
         r = smooth([c[key] for c in ref_curves])
         o = smooth([c[key] for c in our_curves])
         denom = np.maximum(np.abs(r), 1e-3)
@@ -199,8 +247,8 @@ def main():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(1, 3, figsize=(15, 4))
-        for ax, key in zip(axes, ("loss_enc", "loss_rec", "loss_kl")):
+        fig, axes = plt.subplots(1, len(keys), figsize=(5 * len(keys), 4))
+        for ax, key in zip(axes, keys):
             ax.plot([c[key] for c in ref_curves], label="reference (torch)", lw=1)
             ax.plot([c[key] for c in our_curves], label="tpu-native (jax)", lw=1)
             ax.set_title(f"{args.solver}: {key}")

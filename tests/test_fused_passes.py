@@ -86,6 +86,7 @@ class TestGroupedBatchNorm:
 
 
 @pytest.mark.parametrize("solver_name", ["intro", "intro_tc"])
+@pytest.mark.slow
 def test_paired_step_matches_unpaired(solver_name):
     from intro_tc_vae_tpu.data import Synthetic
     from intro_tc_vae_tpu.models import Decoder, Encoder

@@ -24,6 +24,7 @@ def test_device_loader_include_labels():
     np.testing.assert_array_equal(labels, ds.latents_values[:8])
 
 
+@pytest.mark.slow
 def test_sample_with_noise_method():
     model = SoftIntroVAE(arch="res", **SMALL)
     variables = model.init(
@@ -38,6 +39,7 @@ def test_sample_with_noise_method():
     assert out.shape == (4, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_write_gradient_flow(tmp_path):
     """The matplotlib per-layer |grad| chart (reference vae.py:215-254)."""
     from tensorboardX import SummaryWriter

@@ -49,6 +49,7 @@ class TestBf16:
         for leaf in jax.tree_util.tree_leaves(variables["params"]):
             assert leaf.dtype == jnp.float32
 
+    @pytest.mark.slow
     def test_intro_tc_step_runs_bf16(self):
         solver, state, batch = build(dtype=jnp.bfloat16)
         state, metrics = solver._step_fn(state, batch)
@@ -58,6 +59,7 @@ class TestBf16:
 
 
 class TestReproducibility:
+    @pytest.mark.slow
     def test_same_seed_same_losses(self, tmp_path):
         from intro_tc_vae_tpu.config import Config
         from intro_tc_vae_tpu.train import train_soft_intro_vae
@@ -76,6 +78,7 @@ class TestReproducibility:
 
 
 class TestQuirkFixes:
+    @pytest.mark.slow
     def test_intro_without_clip_has_no_L2_and_runs(self):
         """Reference quirk Q3: IntroSolver with clip=None raised NameError
         on the 'L2' return; here the step simply omits the metric."""

@@ -46,6 +46,7 @@ def get_batch(dataset, n=4):
 
 
 @pytest.mark.parametrize("arch", ["conv", "inception"])
+@pytest.mark.slow
 def test_intro_tc_step_other_archs(arch):
     """Solver step smoke for the non-res block architectures."""
     dataset = Synthetic(image_size=32, cdim=3, sizes=(2, 2, 2, 2))
@@ -67,6 +68,7 @@ def test_intro_tc_step_other_archs(arch):
 
 
 @pytest.mark.parametrize("name", ["vae", "tc", "intro", "intro_tc"])
+@pytest.mark.slow
 def test_solver_step_runs_and_updates(name):
     solver, dataset = make_small_solver(name)
     batch = get_batch(dataset)
@@ -123,6 +125,7 @@ def test_clip_produces_total_norm():
     assert "L2" in metrics
 
 
+@pytest.mark.slow
 def test_intro_metrics_surface():
     solver, dataset = make_small_solver("intro", clip=0.5)
     batch = get_batch(dataset)
@@ -134,6 +137,7 @@ def test_intro_metrics_surface():
         assert np.isfinite(float(metrics[k]))
 
 
+@pytest.mark.slow
 def test_intro_tc_uses_tc_kl():
     """intro_tc and intro must differ only through the TC term."""
     s_intro, dataset = make_small_solver("intro")
@@ -146,6 +150,7 @@ def test_intro_tc_uses_tc_kl():
     assert not np.isclose(float(m1["loss_enc"]), float(m2["loss_enc"]))
 
 
+@pytest.mark.slow
 def test_scan_steps_equals_sequential_steps():
     """K scanned steps must produce exactly the same state as K sequential
     single-step calls (same batches, same RNG stream)."""

@@ -14,6 +14,8 @@ import pytest
 from intro_tc_vae_tpu.config import Config, load_config
 from intro_tc_vae_tpu.train import train_soft_intro_vae
 
+pytestmark = pytest.mark.slow  # heavy tier: parity/e2e (see pyproject markers)
+
 DATA_DIR = os.path.join(os.path.dirname(__file__), "test_data")
 
 

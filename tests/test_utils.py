@@ -105,6 +105,7 @@ class TestCheckpoint:
         latest = find_latest_checkpoint(str(tmp_path), "run_")
         assert latest.endswith("run_model_epoch_6_iter_10")
 
+    @pytest.mark.slow
     def test_auto_resume_in_train_loop(self, tmp_path):
         from intro_tc_vae_tpu.config import Config
         from intro_tc_vae_tpu.train import train_soft_intro_vae
