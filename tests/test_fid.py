@@ -55,6 +55,7 @@ class TestComputeFid:
         assert mu.shape == (6,) and cov.shape == (6, 6)
 
 
+@pytest.mark.slow
 class TestInceptionV3:
     """Flax InceptionV3-pool3 trunk (models/inception.py) — structure and
     torch-state-dict transplant mapping. Real pretrained weights are not
