@@ -9,6 +9,13 @@ Usage:
 
 from __future__ import annotations
 
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:  # runnable as `python analysis/<script>.py`
+    sys.path.insert(0, _REPO)
+
 import argparse
 import collections
 import glob
