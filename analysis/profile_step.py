@@ -21,6 +21,7 @@ import collections
 import glob
 import gzip
 import json
+import re
 import tempfile
 
 
@@ -52,16 +53,39 @@ def trace_step(solver_name, batch, image_size, arch, zdim, steps, precision):
     state, m = solver._step_fn(state, x)
     _ = float(m["loss_enc"])  # force compile + execution
 
+    # HLO-instruction -> jax op_name metadata map. Fusion *names* lie:
+    # XLA fuses BN statistics into conv epilogues and names the result
+    # convert_reduce_fusion, so name-based categorization misattributes
+    # conv time to "BN statistics" (this bug shipped in round 1 and put
+    # "30% BN stats" in BENCHMARKS.md; the truth was ~84% convolution).
+    hlo = solver._step_fn.lower(state, x).compile().as_text()
+    op_meta = {mm.group(1): mm.group(2) for mm in
+               re.finditer(r'%(\S+?) = .*?metadata=\{op_name="([^"]*)"', hlo)}
+
     trace_dir = tempfile.mkdtemp(prefix="itcvae-trace-")
     jax.profiler.start_trace(trace_dir)
     for _ in range(steps):
         state, m = solver._step_fn(state, x)
     _ = float(m["loss_enc"])
     jax.profiler.stop_trace()
-    return trace_dir
+    return trace_dir, op_meta
 
 
-def analyze(trace_dir: str, steps: int):
+def _categorize(name: str, meta: str | None) -> str:
+    """Category from jax op_name metadata (ground truth), trace name fallback."""
+    if meta:
+        if "conv_general_dilated" in meta:
+            return ("conv (bwd)" if "transpose(" in meta else "conv (fwd)")
+        if "dot_general" in meta:
+            return "dot (fc/TC)"
+        if "reduce" in meta or "_norm" in meta or "mean" in meta:
+            return "reduce (stats/losses)"
+    if "copy" in name or "transpose" in name or "broadcast" in name:
+        return "copy/transpose/broadcast"
+    return "elementwise/other"
+
+
+def analyze(trace_dir: str, steps: int, op_meta: dict | None = None):
     files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     if not files:
         print(f"no trace files under {trace_dir}")
@@ -72,8 +96,10 @@ def analyze(trace_dir: str, steps: int):
     device_pids = {p for p, n in pids.items() if "device" in n.lower()}
 
     skip = ("trace", "py:", "jit_", "Pjit", "asarray")
+    op_meta = op_meta or {}
     cat = collections.Counter()
     top = collections.Counter()
+    layers = collections.Counter()
     total = 0
     for e in ev:
         if e.get("ph") != "X" or "dur" not in e or e.get("pid") not in device_pids:
@@ -83,14 +109,13 @@ def analyze(trace_dir: str, steps: int):
             continue
         total += e["dur"]
         top[name] += e["dur"]
-        if "convert_reduce" in name or "reduce" in name:
-            cat["reduce (BN statistics)"] += e["dur"]
-        elif "fusion" in name:
-            cat["fusion (conv + elementwise)"] += e["dur"]
-        elif "copy" in name or "transpose" in name:
-            cat["copy/transpose"] += e["dur"]
-        else:
-            cat["other"] += e["dur"]
+        meta = op_meta.get(name)
+        kind = _categorize(name, meta)
+        cat[kind] += e["dur"]
+        if kind.startswith("conv") and meta:
+            mm = re.search(r"(Encoder|Decoder)\)*/(\w+)/", meta)
+            if mm:
+                layers[f"{mm.group(1)}/{mm.group(2)}"] += e["dur"]
 
     if total == 0:
         print("no device op events found (CPU traces name processes "
@@ -99,6 +124,10 @@ def analyze(trace_dir: str, steps: int):
     print(f"device op-time: {total/steps/1e3:.2f} ms/step")
     for k, v in cat.most_common():
         print(f"  {k:30s} {v/steps/1e3:7.2f} ms/step  {100*v/total:5.1f}%")
+    if layers:
+        print("conv time by layer (fwd+bwd):")
+        for n, d in layers.most_common(8):
+            print(f"  {d/steps/1e3:7.2f} ms  {n}")
     print("top individual ops (per step):")
     for n, d in top.most_common(10):
         print(f"  {d/steps/1e3:7.2f} ms  {n[:90]}")
@@ -114,10 +143,11 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--precision", default="bf16")
     args = ap.parse_args()
-    trace_dir = trace_step(args.solver, args.batch, args.image_size, args.arch,
-                           args.z_dim, args.steps, args.precision)
+    trace_dir, op_meta = trace_step(args.solver, args.batch, args.image_size,
+                                    args.arch, args.z_dim, args.steps,
+                                    args.precision)
     print(f"trace: {trace_dir} (open in TensorBoard's profile plugin for the full view)")
-    analyze(trace_dir, args.steps)
+    analyze(trace_dir, args.steps, op_meta)
 
 
 if __name__ == "__main__":
