@@ -79,29 +79,43 @@ class DeviceLoader:
         for start in range(0, stop, chunk):
             yield order[start : start + chunk]
 
-    def _make_batch(self, idx: np.ndarray):
+    def _gather(self, idx: np.ndarray) -> np.ndarray:
         if hasattr(self.dataset, "get_batch"):
             imgs = self.dataset.get_batch(idx)
         else:
             imgs = np.stack([self.dataset[i][0] for i in idx], axis=0)
         if self.pre_process is not None:
             imgs = self.pre_process(imgs)
-        if self.stack_steps > 1:  # [K*B, ...] -> [K, B, ...] for lax.scan
-            imgs = imgs.reshape(self.stack_steps, self.batch_size, *imgs.shape[1:])
-        if self.sharding is not None and jax.process_count() > 1:
+        return imgs
+
+    def _make_batch(self, idx: np.ndarray):
+        multihost = self.sharding is not None and jax.process_count() > 1
+        if multihost:
             # Multi-host: every process iterates the same global index order
-            # (same seed), keeps its own contiguous row block, and assembles
-            # the global data-sharded array from the local rows. Device order
-            # in make_mesh groups by process, so the block layout matches.
+            # (same seed), gathers/decodes ONLY its own contiguous row block
+            # (per scan step), and assembles the global data-sharded array
+            # from the local rows. Device order in make_mesh groups by
+            # process, so the block layout matches. pre_process runs on the
+            # local rows only — it is a per-sample map (the reference's
+            # batch_to_device contract, dataset.py:16-27).
             from intro_tc_vae_tpu.parallel.distributed import local_batch_slice
 
-            axis = 1 if self.stack_steps > 1 else 0
-            sl = local_batch_slice(imgs.shape[axis])
-            local = imgs[:, sl] if axis == 1 else imgs[sl]
+            sl = local_batch_slice(self.batch_size)
+            if self.stack_steps > 1:
+                local_idx = idx.reshape(self.stack_steps, self.batch_size)[:, sl]
+                local = self._gather(local_idx.ravel())
+                local = local.reshape(self.stack_steps, -1, *local.shape[1:])
+                gshape = (self.stack_steps, self.batch_size, *local.shape[2:])
+            else:
+                local = self._gather(idx[sl])
+                gshape = (self.batch_size, *local.shape[1:])
             batch = jax.make_array_from_process_local_data(
-                self.sharding, local, imgs.shape
+                self.sharding, local, gshape
             )
         else:
+            imgs = self._gather(idx)
+            if self.stack_steps > 1:  # [K*B, ...] -> [K, B, ...] for lax.scan
+                imgs = imgs.reshape(self.stack_steps, self.batch_size, *imgs.shape[1:])
             batch = jax.device_put(imgs, self.sharding)
         if self.include_labels:
             labels = np.stack([self.dataset.latents_values[i] for i in idx], axis=0) \

@@ -7,9 +7,12 @@ mesh helpers in parallel.mesh then see the global device set and GSPMD
 lays collectives over ICI within a slice and DCN across slices.
 
 The reference has no distributed support of any kind (SURVEY §2.9); this
-is the TPU-native extension point. On this build machine only one chip is
-reachable, so the multi-host path is exercised only via the virtual-mesh
-tests + dryrun; treat it as scaffolding, not a validated path.
+is the TPU-native extension point. train.py calls
+``initialize_distributed()`` on startup (env-driven, no-op single
+process) and DeviceLoader feeds each process its ``local_batch_slice``
+rows. Validated by a real 2-process ``jax.distributed`` CPU cluster test
+(tests/test_multiprocess.py); only one chip is reachable on this build
+machine, so cross-host ICI/DCN runs are exercised there, not here.
 """
 
 from __future__ import annotations

@@ -70,4 +70,21 @@ total = jax.jit(lambda x: (x * x).sum())(batch)  # cross-process reduction
 np.testing.assert_allclose(
     float(total), float((host_batch * host_batch).sum()), rtol=1e-6
 )
+
+# scan-stacked path: [K, B, ...] with the data axis at axis 1; each process
+# gathers only its own rows per scan step
+loader2 = DeviceLoader(
+    ds, batch_size=4, stack_steps=2, shuffle=True,
+    sharding=batch_sharding(mesh, ndim=5, batch_axis=1), seed=7,
+)
+b2 = next(iter(loader2))
+assert b2.shape == (2, 4, 16, 16, 3), b2.shape
+rng2 = np.random.RandomState(7)
+order2 = np.arange(len(ds))
+rng2.shuffle(order2)
+host2 = ds.get_batch(order2[:8]).reshape(2, 4, 16, 16, 3)
+total2 = jax.jit(lambda x: (x * x).sum())(b2)
+np.testing.assert_allclose(float(total2), float((host2 * host2).sum()),
+                           rtol=1e-6)
+
 print(f"mp-child {jax.process_index()}: OK total={float(total):.4f}")
