@@ -61,6 +61,8 @@ class Config:
                                 # numerics-identical, see solvers/intro.py)
     data_root: Optional[str] = None
     checkpoint_dir: str = "./saves"
+    async_checkpoint: bool = False  # background (Orbax async) saves: the
+                                    # step loop keeps running during D2H+write
     log_dir: Optional[str] = None
     resume: Optional[str] = None  # checkpoint path to resume from (fixes Q12)
 

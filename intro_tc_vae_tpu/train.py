@@ -198,7 +198,8 @@ def train_soft_intro_vae(config: Config):
         if epoch % config.save_interval == 0 and epoch > 0:
             save_epoch = (epoch // config.save_interval) * config.save_interval
             save_checkpoint(state, save_epoch, cur_iter, prefix,
-                            checkpoint_dir=config.checkpoint_dir)
+                            checkpoint_dir=config.checkpoint_dir,
+                            async_save=config.async_checkpoint)
 
         pbar = tqdm(iterable=loader)
         pending = None  # previous step's device metrics: fetched one step
@@ -252,7 +253,12 @@ def train_soft_intro_vae(config: Config):
                              state.batch_stats["decoder"], noise, train=False)
             solver.write_images(state, batch, fake, cur_iter)
             save_checkpoint(state, epoch, cur_iter, prefix,
-                            checkpoint_dir=config.checkpoint_dir)
+                            checkpoint_dir=config.checkpoint_dir,
+                            async_save=config.async_checkpoint)
+
+    from intro_tc_vae_tpu.utils.checkpoint import finalize_checkpoints
+
+    finalize_checkpoints()  # commit any in-flight async save before exit
 
     # ----- hparams table (reference train.py:244-264) -----
     if writer:

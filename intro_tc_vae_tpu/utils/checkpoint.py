@@ -30,22 +30,63 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+_async_ckptr = None  # lazily created, shared so saves serialize correctly
+
+
+def _get_async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def finalize_checkpoints() -> None:
+    """Block until any in-flight async checkpoint save has committed.
+
+    Call before process exit (train.py does) — an async save that hasn't
+    finished is not a valid checkpoint directory yet.
+    """
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save_checkpoint(
     state: Any,
     epoch: int,
     iteration: int,
     prefix: str = "",
     checkpoint_dir: str = "./saves",
+    async_save: bool = False,
 ) -> str:
     """Save full train state (params + batch_stats + optimizer states).
 
     Uses Orbax's StandardCheckpointer; the payload is a pure pytree.
-    Returns the checkpoint path.
+    With ``async_save`` the D2H copy + write happen on a background
+    thread (Orbax AsyncCheckpointer) so the train loop keeps stepping;
+    a subsequent save or ``finalize_checkpoints()`` waits for the
+    previous one. Returns the checkpoint path.
     """
     import orbax.checkpoint as ocp
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = _ckpt_path(checkpoint_dir, prefix, epoch, iteration)
+    if async_save:
+        # hand the device arrays to orbax directly — it snapshots/copies
+        # asynchronously without stalling the step loop
+        payload = {
+            "epoch": np.asarray(epoch),
+            "step": np.asarray(state.step),
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state_e": state.opt_state_e,
+            "opt_state_d": state.opt_state_d,
+        }
+        ckptr = _get_async_checkpointer()
+        ckptr.save(path, payload, force=True)
+        print(f"model checkpoint saving (async) @ {path}")
+        return path
     payload = {
         "epoch": np.asarray(epoch),
         "step": np.asarray(state.step),
@@ -72,6 +113,7 @@ def load_checkpoint(path: str, target_state: Optional[Any] = None):
 
     import orbax.checkpoint as ocp
 
+    finalize_checkpoints()  # never restore while an async save is in flight
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         if target_state is None:

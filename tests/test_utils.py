@@ -88,6 +88,26 @@ class TestCheckpoint:
                         jax.tree_util.tree_leaves(restored.opt_state_e)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_async_save_roundtrip(self, tmp_path):
+        from intro_tc_vae_tpu.utils.checkpoint import finalize_checkpoints
+
+        solver, state, batch = self._make_solver_state()
+        state, _ = solver._step_fn(state, batch)
+
+        path = save_checkpoint(state, epoch=1, iteration=5, prefix="a_",
+                               checkpoint_dir=str(tmp_path), async_save=True)
+        finalize_checkpoints()  # the save commits in the background
+
+        fresh = solver.init_state(jax.random.key(1), batch)
+        restored, epoch = load_checkpoint(path, fresh)
+        assert epoch == 1
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.opt_state_d),
+                        jax.tree_util.tree_leaves(restored.opt_state_d)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_find_latest_checkpoint(self, tmp_path):
         from intro_tc_vae_tpu.utils.checkpoint import find_latest_checkpoint
 
