@@ -99,7 +99,11 @@ def headline():
     flagship batch-64 recipe alongside (VERDICT r1 Weak #3).
     """
     b64 = main(batch=64, emit=False)
-    b128 = main(batch=128, emit=False)
+    try:
+        b128 = main(batch=128, emit=False)
+    except Exception as e:  # never lose the b64 headline to a b128 failure
+        print(f"batch-128 pass failed ({e!r}); reporting batch 64", flush=True)
+        b128 = 0.0
     best, best_batch = (b64, 64) if b64 >= b128 else (b128, 128)
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
