@@ -126,13 +126,16 @@ def load_checkpoint(path: str, target_state: Optional[Any] = None):
                 return ckptr.restore(path)
             finally:
                 logger.setLevel(level)
+        # raw (possibly device-resident, sharded) leaves: their shardings
+        # survive to_shape_dtype_struct, so orbax restores directly onto
+        # the target topology instead of reading sharding info from file
         abstract = {
             "epoch": np.asarray(0),
             "step": np.asarray(target_state.step),
-            "params": _to_numpy(target_state.params),
-            "batch_stats": _to_numpy(target_state.batch_stats),
-            "opt_state_e": _to_numpy(target_state.opt_state_e),
-            "opt_state_d": _to_numpy(target_state.opt_state_d),
+            "params": target_state.params,
+            "batch_stats": target_state.batch_stats,
+            "opt_state_e": target_state.opt_state_e,
+            "opt_state_d": target_state.opt_state_d,
         }
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, abstract)
         restored = ckptr.restore(path, abstract)
