@@ -171,3 +171,41 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_checkpoint_restore_preserves_target_sharding(tmp_path):
+    """load_checkpoint with a sharded target restores leaves with the
+    target's mesh shardings (the abstract tree keeps leaf.sharding), so
+    multi-chip resume places arrays directly on the mesh."""
+    from intro_tc_vae_tpu.data import Synthetic
+    from intro_tc_vae_tpu.models import Decoder, Encoder
+    from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
+    from intro_tc_vae_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    small = dict(cdim=3, zdim=8, channels=(8, 16), image_size=32)
+    ds = Synthetic(image_size=32, cdim=3, sizes=(2, 2, 2, 2))
+    solver = make_solver(
+        "vae", dataset=ds,
+        encoder=Encoder(arch="res", **small),
+        decoder=Decoder(arch="res", **small),
+        batch_size=8,
+        optimizer_e=make_optimizer("adam", 1e-3),
+        optimizer_d=make_optimizer("adam", 1e-3),
+    )
+    batch = jnp.asarray(ds.get_batch(np.arange(8)))
+    state = solver.init_state(jax.random.key(0), batch)
+    path = save_checkpoint(state, epoch=0, iteration=1, prefix="shard_",
+                           checkpoint_dir=str(tmp_path))
+
+    mesh = make_mesh(8, model_parallel=2)
+    target = shard_state(solver.init_state(jax.random.key(1), batch),
+                         mesh, min_dim=8)
+    fc = target.params["encoder"]["fc"]["kernel"]
+    assert any(ax == "model" for ax in fc.sharding.spec)  # target is sharded
+
+    restored, _ = load_checkpoint(path, target)
+    rfc = restored.params["encoder"]["fc"]["kernel"]
+    assert rfc.sharding == fc.sharding  # restore kept the mesh sharding
+    np.testing.assert_array_equal(
+        np.asarray(rfc), np.asarray(state.params["encoder"]["fc"]["kernel"])
+    )
