@@ -328,12 +328,32 @@ class UkiyoE:
                 arr = flip_horizontal(arr, flags)
             return arr
         # uncached: parallel per-image decode (reference train.py:146-151
-        # used 2 DataLoader worker processes; we use a thread pool)
+        # used 2 DataLoader worker processes; we use a thread pool). Flip
+        # flags are drawn once in the calling thread — RandomState is not
+        # thread-safe, so workers must never touch self._rng.
         from concurrent.futures import ThreadPoolExecutor
 
+        flags = (
+            (self._rng.rand(len(indices)) < 0.5).astype(np.uint8)
+            if self.random_flip else None
+        )
+
+        def _decode(i):
+            return load_image(
+                os.path.join(self.root, self.entries[int(i)][0]),
+                input_height=256,
+                output_height=self.resize,
+                is_mirror=False,
+                is_random_crop=False,
+            )
+
         with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
-            imgs = list(pool.map(lambda i: self[int(i)][0], indices))
-        return np.stack(imgs, axis=0)
+            imgs = np.stack(list(pool.map(_decode, indices)), axis=0)
+        if flags is not None:
+            from intro_tc_vae_tpu.runtime import flip_horizontal
+
+            imgs = flip_horizontal(np.ascontiguousarray(imgs, np.float32), flags)
+        return imgs
 
     def get_label(self, index: int) -> str:
         code = self.labels.cat.codes.iloc[index]

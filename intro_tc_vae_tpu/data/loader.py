@@ -118,9 +118,15 @@ class DeviceLoader:
                 imgs = imgs.reshape(self.stack_steps, self.batch_size, *imgs.shape[1:])
             batch = jax.device_put(imgs, self.sharding)
         if self.include_labels:
-            labels = np.stack([self.dataset.latents_values[i] for i in idx], axis=0) \
-                if hasattr(self.dataset, "latents_values") \
-                else np.stack([self.dataset[i][1] for i in idx], axis=0)
+            ds = self.dataset
+            if hasattr(ds, "latents_values"):
+                labels = np.stack([ds.latents_values[i] for i in idx], axis=0)
+            elif hasattr(ds, "entries"):
+                # label-only accessor: never decode images just for labels
+                # (UkiyoE entries are (filename, label_code) tuples)
+                labels = np.asarray([ds.entries[int(i)][1] for i in idx])
+            else:
+                labels = np.stack([ds[i][1] for i in idx], axis=0)
             return batch, labels
         return batch
 

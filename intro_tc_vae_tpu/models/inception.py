@@ -1,12 +1,15 @@
 """InceptionV3 feature extractor (pool3, 2048-d) for standard FID.
 
-A flax/NHWC implementation of the torchvision ``inception_v3`` trunk
-(aux logits and fc head omitted — FID uses the final average-pool
-features). Architecture follows torchvision.models.inception (BasicConv2d
-= conv(bias-free) + BN(eps=1e-3) + ReLU; Mixed_5*/6*/7* blocks), so a
-torchvision ``Inception_V3_Weights`` state_dict (or the pytorch-fid
-variant's, which shares tensor names for the trunk) transplants directly
-via :func:`load_torch_inception_weights`.
+A flax/NHWC implementation targeting **pytorch-fid parity exactly**: the
+trunk is torchvision's inception_v3 (BasicConv2d = conv(bias-free) +
+BN(eps=1e-3) + ReLU; Mixed_5*/6*/7* blocks) with pytorch-fid's FID-net
+patches — avg pools use count_include_pad=False (FIDInceptionA/C/E_1)
+and Mixed_7c's branch_pool is a 3x3/s1/p1 MAX pool (FIDInceptionE_2) —
+so with pytorch-fid's ``pt_inception-2015-12-05`` state_dict (tensor
+names shared with torchvision) the pool3 features, and hence FID, are
+comparable to published scores. A plain torchvision checkpoint also
+loads (same names) but then features follow the FID-net pooling, not
+torchvision's. Transplant via :func:`load_torch_inception_weights`.
 
 Pretrained weights are NOT bundled (this build environment has no
 network egress); :func:`inception_feature_fn` is gated on a local weights
@@ -116,6 +119,13 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    """pool='avg' is pytorch-fid's FIDInceptionE_1 (Mixed_7b: avg_pool
+    with count_include_pad=False); pool='max' is FIDInceptionE_2
+    (Mixed_7c: canonical pytorch-fid patches branch_pool to a 3x3/s1/p1
+    MAX pool, matching the original TF-graph FID network)."""
+
+    pool: str = "avg"
+
     @nn.compact
     def __call__(self, x):
         b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
@@ -130,7 +140,11 @@ class InceptionE(nn.Module):
             BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd),
             BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd),
         ], axis=-1)
-        bp = _avgpool3x3s1p1(x)
+        if self.pool == "max":
+            bp = nn.max_pool(x, (3, 3), strides=(1, 1),
+                             padding=((1, 1), (1, 1)))
+        else:
+            bp = _avgpool3x3s1p1(x)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -170,7 +184,7 @@ class InceptionV3Features(nn.Module):
         x = InceptionC(192, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(pool="max", name="Mixed_7c")(x)
         return jnp.mean(x, axis=(1, 2))  # global avg pool -> [B, 2048]
 
 

@@ -21,7 +21,11 @@ from intro_tc_vae_tpu.ops.density import (
     minibatch_weighted_sampling,
     on_off_diag,
 )
-from intro_tc_vae_tpu.ops.tc import total_correlation, tc_decomposition
+from intro_tc_vae_tpu.ops.tc import (
+    total_correlation,
+    total_correlation_sharded,
+    tc_decomposition,
+)
 
 __all__ = [
     "entropy",
@@ -36,5 +40,6 @@ __all__ = [
     "minibatch_weighted_sampling",
     "on_off_diag",
     "total_correlation",
+    "total_correlation_sharded",
     "tc_decomposition",
 ]

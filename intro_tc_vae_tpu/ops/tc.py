@@ -51,6 +51,8 @@ def total_correlation(
     reduce: str = "mean",
     impl: str = "xla",
     sampling: str = "stratified",
+    mesh=None,
+    axis_name: str = "data",
 ) -> jax.Array:
     """Minibatch estimate of the total correlation TC(z).
 
@@ -62,9 +64,24 @@ def total_correlation(
         sampling: 'stratified' (what the reference executes, ops.py:84) or
             'weighted' (minibatch-weighted variant, defined but unused
             there — ops.py:92-101, quirk Q11; xla impl only).
+        mesh/axis_name: if mesh is given with >1 devices on axis_name and a
+            scaling impl, compute the GLOBAL-batch TC via shard_map (each
+            shard reduces its rows against the all-gathered mu bank) —
+            see total_correlation_sharded. The default 'xla' impl instead
+            relies on GSPMD partitioning of the materialized [B,B,z] form.
 
     Reference: ops.py:52-89 (E_j[log q(z(x_j)) - log prod_l q(z(x_j)_l)]).
     """
+    if (
+        mesh is not None
+        and impl in ("blockwise", "pallas")
+        and sampling == "stratified"
+        and mesh.shape.get(axis_name, 1) > 1
+    ):
+        return total_correlation_sharded(
+            z, mu, logvar, dataset_size, mesh,
+            reduce=reduce, impl=impl, axis_name=axis_name,
+        )
     batch_size = z.shape[0]
     if sampling == "weighted":
         log_qz_prob = _pairwise_log_density(z, mu, logvar, variance_index="j")
@@ -95,6 +112,8 @@ def tc_logsumexp_blockwise(
     logvar: jax.Array,
     dataset_size: int,
     block: int = 128,
+    row_offset=None,
+    global_batch: int | None = None,
 ):
     """Streaming (flash-style) TC reductions: never materializes [B, B, z].
 
@@ -104,6 +123,11 @@ def tc_logsumexp_blockwise(
     global-batch scaling path (SURVEY §5.7: the honest analogue of
     blockwise/ring attention for this codebase); gradients flow through
     `lax.scan` with rematerialized blocks.
+
+    Sharded path (under jax.shard_map, see total_correlation_sharded):
+    z/logvar hold this shard's rows, mu the all-gathered global bank,
+    row_offset the shard's global row start (traced ok), global_batch the
+    full batch size for the stratified-weight constants.
 
     Returns (log prod_l q(z_l) [B], log q(z) [B]) — identical numerics to
     `minibatch_stratified_sampling` up to fp accumulation order.
@@ -116,11 +140,12 @@ def tc_logsumexp_blockwise(
         _VAR_FLOOR,
     )
 
-    b, zdim = z.shape
-    block = min(block, b)
-    if b % block != 0:  # fall back to any divisor
-        block = math.gcd(b, block)
-    ni = b // block
+    b_j, zdim = z.shape
+    b_i = mu.shape[0]
+    block = min(block, b_i)
+    if b_i % block != 0:  # fall back to any divisor
+        block = math.gcd(b_i, block)
+    ni = b_i // block
 
     var = jnp.maximum(jnp.exp(logvar), _VAR_FLOOR)                  # [B, z]
     log_var_f = jnp.log(var)
@@ -129,16 +154,17 @@ def tc_logsumexp_blockwise(
 
     # stratified weights generated per block (no O(B^2) matrix): the
     # column-structured layout (density.py) depends only on the column
-    # index, except W[M-1, 0].
-    n_f, m = float(dataset_size), b - 1
+    # index, except W[M-1, 0]. Row/col indices are GLOBAL batch indices.
+    n_f, m = float(dataset_size), (global_batch or b_j) - 1
     log1m = math.log(1.0 / m)
     log1n = math.log(1.0 / n_f)
     logstrat = math.log((n_f - m) / (n_f * m))
-    rows = jnp.arange(b)[:, None]                                    # [B, 1]
+    off = 0 if row_offset is None else row_offset
+    rows = off + jnp.arange(b_j)[:, None]                            # [B, 1]
 
     def iw_for(block_idx):
         cols = block_idx * block + jnp.arange(block)[None, :]        # [1, blk]
-        iw = jnp.full((b, block), log1m, jnp.float32)
+        iw = jnp.full((b_j, block), log1m, jnp.float32)
         iw = jnp.where(cols == 0,
                        jnp.where(rows == m - 1, logstrat, log1n), iw)
         return jnp.where(cols == 1, logstrat, iw)
@@ -173,11 +199,16 @@ def tc_logsumexp_blockwise(
         m_j = new_mj
         return (m_m, s_m, m_j, s_j), None
 
+    # build the carry init FROM z (0*z) so it inherits z's varying manual
+    # axes under shard_map (jax>=0.8 rejects unvarying-carry-in /
+    # varying-carry-out scans)
+    zero_bz = z * 0.0
+    zero_b = zero_bz[:, 0]
     init = (
-        jnp.full((b, zdim), neg_inf),
-        jnp.zeros((b, zdim), z.dtype),
-        jnp.full((b,), neg_inf),
-        jnp.zeros((b,), z.dtype),
+        zero_bz + neg_inf,
+        zero_bz,
+        zero_b + neg_inf,
+        zero_b,
     )
     (m_m, s_m, m_j, s_j), _ = jax.lax.scan(
         body, init, (mu_blocks, jnp.arange(ni))
@@ -185,6 +216,68 @@ def tc_logsumexp_blockwise(
     logqz_prodmarginals = jnp.sum(jnp.log(s_m) + m_m, axis=1)
     log_qz = jnp.log(s_j) + m_j
     return logqz_prodmarginals, log_qz
+
+
+def total_correlation_sharded(
+    z: jax.Array,
+    mu: jax.Array,
+    logvar: jax.Array,
+    dataset_size: int,
+    mesh,
+    reduce: str = "mean",
+    impl: str = "blockwise",
+    axis_name: str = "data",
+) -> jax.Array:
+    """Global-batch TC over a data-sharded batch (SURVEY §5.7/§7.7).
+
+    The pairwise density log N(z_j | mu_i, var_j) (the as-executed
+    reference indexing, ops.py:80-82) couples sample j to the rest of the
+    batch only through mu_i — so the cross-chip form is ONE all_gather of
+    mu ([B, z], rides ICI) followed by purely local streaming logsumexp
+    over the full bank, with the stratified weights indexed by GLOBAL
+    (row, col). No logsumexp-merge collective is needed, and the
+    all_gather's transpose (psum-scatter) is exactly the cross-chip
+    reduction for dmu in the backward.
+
+    impl='blockwise' uses the lax.scan streaming path per shard;
+    impl='pallas' the fused kernel (tc_logsumexp_pallas_gathered).
+    Returns the same value as the single-device estimator on the
+    concatenated batch, 'mean' (scalar) or 'none' ([B] sharded vector).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(z_l, mu_l, lv_l):
+        mu_all = jax.lax.all_gather(mu_l, axis_name, axis=0, tiled=True)
+        gb = mu_all.shape[0]
+        off = jax.lax.axis_index(axis_name) * z_l.shape[0]
+        if impl == "pallas":
+            from intro_tc_vae_tpu.ops.tc_pallas import (
+                tc_logsumexp_pallas_gathered,
+            )
+
+            pm, qz = tc_logsumexp_pallas_gathered(
+                z_l, mu_all, lv_l, off, dataset_size, gb
+            )
+        else:
+            pm, qz = tc_logsumexp_blockwise(
+                z_l, mu_all, lv_l, dataset_size,
+                row_offset=off, global_batch=gb,
+            )
+        return qz - pm
+
+    tc = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        # pallas_call outputs carry no varying-manual-axes metadata, which
+        # jax>=0.8's vma check rejects; equality-vs-single-device is
+        # asserted by tests instead (tests/test_tc_impls.py)
+        check_vma=False,
+    )(z, mu, logvar)
+    if reduce == "mean":
+        return jnp.mean(tc)
+    return tc
 
 
 def tc_decomposition(

@@ -48,21 +48,26 @@ from intro_tc_vae_tpu.ops.density import (
 _NEG_INF = float("-inf")
 
 
-def _pick_tiles(b: int, zdim: int = 128) -> tuple[int, int]:
+def _pick_tiles(b_j: int, zdim: int = 128, b_i: int | None = None) -> tuple[int, int]:
     """(tile_j, tile_i): the kernel's VMEM density block is
     tile_j*tile_i*z floats. Defaults (8, 128) measured best on v5e;
-    override with ITCVAE_TC_TILES="tj,ti" for tuning."""
+    override with ITCVAE_TC_TILES="tj,ti" for tuning.
+
+    b_j tiles the local z rows, b_i the (possibly all-gathered, larger)
+    mu bank rows — they differ on the sharded global-batch path.
+    """
     import os
 
+    b_i = b_i if b_i is not None else b_j
     override = os.environ.get("ITCVAE_TC_TILES")
     if override:
         tj, ti = (int(v) for v in override.split(","))
-        if b % tj == 0 and b % ti == 0:
+        if b_j % tj == 0 and b_i % ti == 0:
             return tj, ti
-    tile_i = 128 if b % 128 == 0 else math.gcd(b, 128)
-    # biggest j-tile (<=32) dividing b: measured on v5e, (32,128) beats
+    tile_i = 128 if b_i % 128 == 0 else math.gcd(b_i, 128)
+    # biggest j-tile (<=32) dividing b_j: measured on v5e, (32,128) beats
     # (8,128) by ~25% fwd / ~35% bwd at large B (BENCHMARKS.md)
-    tile_j = next((t for t in (32, 16, 8) if b % t == 0), math.gcd(b, 8))
+    tile_j = next((t for t in (32, 16, 8) if b_j % t == 0), math.gcd(b_j, 8))
     # keep the (tj, ti, z) fp32 density block within a ~2MB VMEM budget
     while tile_j > 8 and tile_j * tile_i * zdim * 4 > 2 * 1024 * 1024:
         tile_j //= 2
@@ -83,11 +88,14 @@ def _iw_consts(batch_size: int, dataset_size: int):
     )
 
 
-def _iw_block(row_pid, col_pid, tj: int, ti: int, c: dict):
+def _iw_block(row_pid, col_pid, tj: int, ti: int, c: dict, row_off=0):
     """(TJ, TI) tile of the log importance-weight matrix, generated
     on-the-fly from grid coordinates — no O(B²) input array, which is what
-    lets TC scale to batches where even the weight matrix wouldn't fit."""
-    rows = row_pid * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, ti), 0)
+    lets TC scale to batches where even the weight matrix wouldn't fit.
+
+    row_off shifts local j rows to GLOBAL batch rows on the sharded path
+    (each shard owns a contiguous row block of the global batch)."""
+    rows = row_off + row_pid * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, ti), 0)
     cols = col_pid * ti + jax.lax.broadcasted_iota(jnp.int32, (tj, ti), 1)
     iw = jnp.full((tj, ti), c["log1m"], jnp.float32)
     iw = jnp.where(
@@ -98,7 +106,7 @@ def _iw_block(row_pid, col_pid, tj: int, ti: int, c: dict):
     return jnp.where(cols == 1, c["logstrat"], iw)
 
 
-def _tc_fwd_kernel(z_ref, var_ref, lvf_ref, mu_ref,
+def _tc_fwd_kernel(off_ref, z_ref, var_ref, lvf_ref, mu_ref,
                    lm_ref, lj_ref,
                    m_marg, s_marg, m_joint, s_joint,
                    *, iw_c: dict, tj: int, ti: int):
@@ -116,7 +124,7 @@ def _tc_fwd_kernel(z_ref, var_ref, lvf_ref, mu_ref,
     var = var_ref[:]      # (TJ, Z) floored variance
     lvf = lvf_ref[:]      # (TJ, Z) log floored variance
     mu = mu_ref[:]        # (TI, Z)
-    iw = _iw_block(pl.program_id(0), i, tj, ti, iw_c)  # (TJ, TI)
+    iw = _iw_block(pl.program_id(0), i, tj, ti, iw_c, off_ref[0])  # (TJ, TI)
 
     diff = z[:, None, :] - mu[None, :, :]                       # (TJ, TI, Z)
     p = -0.5 * (lvf[:, None, :] + diff * diff / var[:, None, :] + _LOG_2PI)
@@ -163,7 +171,7 @@ def _dp_block(z, var, lvf, mu, iw, lm, lj, g_m, g_j):
     return dp, diff
 
 
-def _tc_bwd_dz_kernel(z_ref, var_ref, lvf_ref, nf_ref, mu_ref,
+def _tc_bwd_dz_kernel(off_ref, z_ref, var_ref, lvf_ref, nf_ref, mu_ref,
                       lm_ref, lj_ref, gm_ref, gj_ref,
                       dz_ref, dlv_ref, dz_acc, dlv_acc,
                       *, iw_c: dict, tj: int, ti: int):
@@ -176,7 +184,7 @@ def _tc_bwd_dz_kernel(z_ref, var_ref, lvf_ref, nf_ref, mu_ref,
         dlv_acc[:] = jnp.zeros_like(dlv_acc)
 
     z, var, lvf = z_ref[:], var_ref[:], lvf_ref[:]
-    iw = _iw_block(pl.program_id(0), i, tj, ti, iw_c)
+    iw = _iw_block(pl.program_id(0), i, tj, ti, iw_c, off_ref[0])
     dp, diff = _dp_block(z, var, lvf, mu_ref[:], iw,
                          lm_ref[:], lj_ref[:], gm_ref[:], gj_ref[:])
     dz_acc[:] += jnp.sum(-dp * diff / var[:, None, :], axis=1)
@@ -191,7 +199,7 @@ def _tc_bwd_dz_kernel(z_ref, var_ref, lvf_ref, nf_ref, mu_ref,
         dlv_ref[:] = dlv_acc[:]
 
 
-def _tc_bwd_dmu_kernel(mu_ref, z_ref, var_ref, lvf_ref,
+def _tc_bwd_dmu_kernel(off_ref, mu_ref, z_ref, var_ref, lvf_ref,
                        lm_ref, lj_ref, gm_ref, gj_ref,
                        dmu_ref, dmu_acc,
                        *, iw_c: dict, tj: int, ti: int):
@@ -203,7 +211,7 @@ def _tc_bwd_dmu_kernel(mu_ref, z_ref, var_ref, lvf_ref,
         dmu_acc[:] = jnp.zeros_like(dmu_acc)
 
     z, var, lvf = z_ref[:], var_ref[:], lvf_ref[:]
-    iw = _iw_block(j, pl.program_id(0), tj, ti, iw_c)  # rows=j, cols=i
+    iw = _iw_block(j, pl.program_id(0), tj, ti, iw_c, off_ref[0])  # rows=j, cols=i
     dp, diff = _dp_block(z, var, lvf, mu_ref[:], iw,
                          lm_ref[:], lj_ref[:], gm_ref[:], gj_ref[:])
     dmu_acc[:] += jnp.sum(dp * diff / var[:, None, :], axis=0)  # sum over j
@@ -214,17 +222,29 @@ def _tc_bwd_dmu_kernel(mu_ref, z_ref, var_ref, lvf_ref,
 
 
 def _tc_pallas_bwd_raw(z, mu, logvar, dataset_size: int, lm, lj, g_m, g_j,
-                       interpret: bool = False):
+                       interpret: bool = False, row_offset=None,
+                       global_batch: int | None = None):
     """Fused backward. lm: [B, Z] marginal logsumexps, lj: [B] joint,
-    g_m: [B] grad wrt prodmarginals (broadcast over l by the sum), g_j: [B]."""
-    b, zdim = z.shape
-    tj, ti = _pick_tiles(b, zdim)
-    nj, ni = b // tj, b // ti
+    g_m: [B] grad wrt prodmarginals (broadcast over l by the sum), g_j: [B].
+
+    Sharded global-batch path: z/logvar/lm/lj/g_* hold this shard's rows,
+    mu is the all-gathered global bank, row_offset the shard's global row
+    start, global_batch the full-batch size for the weight constants.
+    dmu is this shard's contribution over the FULL bank (summed across
+    shards by the all_gather transpose).
+    """
+    b_j, zdim = z.shape
+    b_i = mu.shape[0]
+    tj, ti = _pick_tiles(b_j, zdim, b_i)
+    nj, ni = b_j // tj, b_i // ti
 
     var = jnp.maximum(jnp.exp(logvar), _VAR_FLOOR)
     lvf = jnp.log(var)
     not_floored = (jnp.exp(logvar) > _VAR_FLOOR).astype(jnp.float32)
-    iw_c = _iw_consts(b, dataset_size)
+    iw_c = _iw_consts(global_batch or b_j, dataset_size)
+    off = jnp.reshape(
+        jnp.asarray(row_offset if row_offset is not None else 0, jnp.int32), (1,)
+    )
     lj2 = lj[:, None]
     gm2 = g_m[:, None]
     gj2 = g_j[:, None]
@@ -235,12 +255,14 @@ def _tc_pallas_bwd_raw(z, mu, logvar, dataset_size: int, lm, lj, g_m, g_j,
             gm2.astype(f32), gj2.astype(f32))
 
     # kernel 1: grid (nj, ni) — accumulate over i, outputs indexed by j
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     j_spec = lambda bs: pl.BlockSpec(bs, lambda j, i: (j, 0), memory_space=pltpu.VMEM)
     i_spec = lambda bs: pl.BlockSpec(bs, lambda j, i: (i, 0), memory_space=pltpu.VMEM)
     dz, dlv = pl.pallas_call(
         functools.partial(_tc_bwd_dz_kernel, iw_c=iw_c, tj=tj, ti=ti),
         grid=(nj, ni),
         in_specs=[
+            smem_spec,
             j_spec((tj, zdim)), j_spec((tj, zdim)), j_spec((tj, zdim)),
             j_spec((tj, zdim)),
             i_spec((ti, zdim)),
@@ -248,12 +270,12 @@ def _tc_pallas_bwd_raw(z, mu, logvar, dataset_size: int, lm, lj, g_m, g_j,
         ],
         out_specs=[j_spec((tj, zdim)), j_spec((tj, zdim))],
         out_shape=[
-            jax.ShapeDtypeStruct((b, zdim), f32),
-            jax.ShapeDtypeStruct((b, zdim), f32),
+            jax.ShapeDtypeStruct((b_j, zdim), f32),
+            jax.ShapeDtypeStruct((b_j, zdim), f32),
         ],
         scratch_shapes=[pltpu.VMEM((tj, zdim), f32), pltpu.VMEM((tj, zdim), f32)],
         interpret=interpret,
-    )(*args)
+    )(off, *args)
 
     # kernel 2: grid (ni, nj) — accumulate over j, outputs indexed by i.
     # Same tile split with roles swapped (tj tiles of j are the inner
@@ -265,34 +287,41 @@ def _tc_pallas_bwd_raw(z, mu, logvar, dataset_size: int, lm, lj, g_m, g_j,
         functools.partial(_tc_bwd_dmu_kernel, iw_c=iw_c, tj=tj, ti=ti),
         grid=(ni, nj),
         in_specs=[
+            smem_spec,
             mu_spec((ti, zdim)),
             jj_spec((tj, zdim)), jj_spec((tj, zdim)), jj_spec((tj, zdim)),
             jj_spec((tj, zdim)), jj_spec((tj, 1)), jj_spec((tj, 1)), jj_spec((tj, 1)),
         ],
         out_specs=mu_spec((ti, zdim)),
-        out_shape=jax.ShapeDtypeStruct((b, zdim), f32),
+        out_shape=jax.ShapeDtypeStruct((b_i, zdim), f32),
         scratch_shapes=[pltpu.VMEM((ti, zdim), f32)],
         interpret=interpret,
-    )(mu32, z32, var32, lvf32, lm32, lj32, gm32, gj32)
+    )(off, mu32, z32, var32, lvf32, lm32, lj32, gm32, gj32)
 
     return dz.astype(z.dtype), dmu.astype(mu.dtype), dlv.astype(logvar.dtype)
 
 
 def _tc_pallas_raw(z, mu, logvar, dataset_size: int, interpret: bool = False,
-                   return_residuals: bool = False):
-    b, zdim = z.shape
-    tj, ti = _pick_tiles(b, zdim)
-    nj, ni = b // tj, b // ti
+                   return_residuals: bool = False, row_offset=None,
+                   global_batch: int | None = None):
+    b_j, zdim = z.shape
+    b_i = mu.shape[0]
+    tj, ti = _pick_tiles(b_j, zdim, b_i)
+    nj, ni = b_j // tj, b_i // ti
 
     var = jnp.maximum(jnp.exp(logvar), _VAR_FLOOR)
     lvf = jnp.log(var)
-    iw_c = _iw_consts(b, dataset_size)
+    iw_c = _iw_consts(global_batch or b_j, dataset_size)
+    off = jnp.reshape(
+        jnp.asarray(row_offset if row_offset is not None else 0, jnp.int32), (1,)
+    )
 
     grid = (nj, ni)
     lm, lj = pl.pallas_call(
         functools.partial(_tc_fwd_kernel, iw_c=iw_c, tj=tj, ti=ti),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tj, zdim), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tj, zdim), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tj, zdim), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
@@ -303,8 +332,8 @@ def _tc_pallas_raw(z, mu, logvar, dataset_size: int, interpret: bool = False,
             pl.BlockSpec((tj, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, zdim), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_j, zdim), jnp.float32),
+            jax.ShapeDtypeStruct((b_j, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((tj, zdim), jnp.float32),
@@ -313,8 +342,8 @@ def _tc_pallas_raw(z, mu, logvar, dataset_size: int, interpret: bool = False,
             pltpu.VMEM((tj, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(z.astype(jnp.float32), var.astype(jnp.float32), lvf.astype(jnp.float32),
-      mu.astype(jnp.float32))
+    )(off, z.astype(jnp.float32), var.astype(jnp.float32),
+      lvf.astype(jnp.float32), mu.astype(jnp.float32))
 
     logqz_prodmarginals = jnp.sum(lm, axis=1)
     log_qz = lj[:, 0]
@@ -342,3 +371,47 @@ def _tc_bwd(dataset_size: int, res, grads):
 
 
 tc_logsumexp_pallas.defvjp(_tc_fwd, _tc_bwd)
+
+
+# ---------------------------------------------------------------------------
+# sharded global-batch variant (called per shard under jax.shard_map)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def tc_logsumexp_pallas_gathered(z, mu_bank, logvar, row_off,
+                                 dataset_size: int, global_batch: int):
+    """Per-shard TC logsumexps against the all-gathered posterior bank.
+
+    z/logvar: this shard's [B_local, z] rows; mu_bank: the FULL
+    [global_batch, z] mu bank (jax.lax.all_gather'd by the caller);
+    row_off: this shard's global row start (traced int32 scalar, from
+    jax.lax.axis_index). Returns this shard's [B_local] logsumexp pair.
+    The bwd emits dmu for the full bank — the all_gather transpose
+    (psum-scatter over ICI) then sums the per-shard contributions, which
+    IS the cross-chip reduction of SURVEY §5.7.
+    """
+    return _tc_pallas_raw(z, mu_bank, logvar, dataset_size,
+                          row_offset=row_off, global_batch=global_batch)
+
+
+def _tc_g_fwd(z, mu_bank, logvar, row_off, dataset_size, global_batch):
+    out, (lm, lj) = _tc_pallas_raw(z, mu_bank, logvar, dataset_size,
+                                   return_residuals=True,
+                                   row_offset=row_off, global_batch=global_batch)
+    return out, (z, mu_bank, logvar, row_off, lm, lj)
+
+
+def _tc_g_bwd(dataset_size, global_batch, res, grads):
+    import numpy as np
+
+    z, mu_bank, logvar, row_off, lm, lj = res
+    g_pm, g_qz = grads
+    dz, dmu, dlv = _tc_pallas_bwd_raw(
+        z, mu_bank, logvar, dataset_size, lm, lj, g_pm, g_qz,
+        row_offset=row_off, global_batch=global_batch,
+    )
+    d_off = np.zeros(np.shape(row_off), jax.dtypes.float0)  # int arg: no grad
+    return dz, dmu, dlv, d_off
+
+
+tc_logsumexp_pallas_gathered.defvjp(_tc_g_fwd, _tc_g_bwd)

@@ -51,6 +51,12 @@ def local_batch_slice(global_batch: int) -> slice:
     (uniform split by process index)."""
     import jax
 
+    if global_batch % jax.process_count() != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{jax.process_count()} processes — per-process rows would not "
+            f"tile the global batch"
+        )
     per = global_batch // jax.process_count()
     start = jax.process_index() * per
     return slice(start, start + per)

@@ -59,6 +59,9 @@ class SolverHyper:
     tc_impl: str = "xla"            # 'xla' | 'pallas'
     clip: Optional[float] = None
     zdim: int = 32
+    # mesh for the global-batch sharded TC path (scaling impls only):
+    # compared/hased by identity, only read at trace time
+    tc_mesh: Any = dataclasses.field(default=None, compare=False)
 
 
 _OPTIMIZERS = {
@@ -110,9 +113,28 @@ def kl_term(h: SolverHyper, z, mu, logvar, reduce: str = "mean", beta=None):
     if h.kl_kind == "gaussian":
         return beta * kl, kl
     tc = ops.total_correlation(
-        z, mu, logvar, h.dataset_size, reduce=reduce, impl=h.tc_impl
+        z, mu, logvar, h.dataset_size, reduce=reduce, impl=h.tc_impl,
+        mesh=h.tc_mesh,
     )
     return (beta - 1.0) * tc + kl, kl
+
+
+def tc_decomp_metrics(h: SolverHyper, z, mu, logvar) -> dict:
+    """Device-side means of the full ELBO decomposition for the
+    ``tc_decomp/{mi,tc,kl}`` TensorBoard group (reference
+    solvers/tc.py:129-139 logs these from ``_compute_kl_loss_full``).
+
+    We log the real-batch KL site's decomposition — in the reference every
+    mean-reduce call overwrites the same global_step, so "which call wins"
+    is an artifact of pass order; the real-KL decomposition is the
+    meaningful signal. XLA CSEs the recompute against the loss path.
+    """
+    mi, tc, kl = ops.tc_decomposition(z, mu, logvar, h.dataset_size)
+    return {
+        "tc_decomp/mi": jnp.mean(mi),
+        "tc_decomp/tc": jnp.mean(tc),
+        "tc_decomp/kl": jnp.mean(kl),
+    }
 
 
 def rec_term(h: SolverHyper, x, recon_x, reduction: str = "sum", beta=None):
@@ -245,6 +267,9 @@ class VAESolver:
             tc_impl=tc_impl,
             clip=clip,
             zdim=encoder.zdim,
+            # scaling TC impls compute the GLOBAL-batch estimate via
+            # shard_map when the batch is sharded over >1 data devices
+            tc_mesh=mesh if tc_impl in ("blockwise", "pallas") else None,
         )
 
         self.latent_generator = None
@@ -257,6 +282,7 @@ class VAESolver:
             pass  # plain (non-factor) dataset: no disentanglement metrics
 
         self.scan_steps = int(scan_steps)
+        self._pending_scalars = None  # (metrics, cur_iter) written one step behind
         step = self.build_step()
         if self.scan_steps > 1:
             step = _scan_steps(step, self.scan_steps)
@@ -305,9 +331,25 @@ class VAESolver:
         new_state, metrics = self._step_fn(state, batch)
 
         if self.writer is not None:
+            # Scalars are written ONE STEP BEHIND: float() on step N's
+            # device metrics would block on the step just dispatched and
+            # serialize the pipeline (the reference pays .item() every
+            # step). Buffering the dict (fresh outputs, never donated) and
+            # fetching it after step N+1 is dispatched keeps the device
+            # busy. Image grids + disentanglement metrics are test_iter-
+            # gated (rare) and still run synchronously on the current state.
+            if self._pending_scalars is not None:
+                self._write_scalar_metrics(*self._pending_scalars)
+            self._pending_scalars = (metrics, cur_iter)
             vis_batch = batch[-1] if self.scan_steps > 1 else batch
-            self._write_step_metrics(new_state, vis_batch, metrics, cur_iter)
+            self._write_heavy_metrics(new_state, vis_batch, cur_iter)
         return new_state, metrics
+
+    def flush_writes(self):
+        """Drain the one-step-behind scalar buffer (end of training)."""
+        if self.writer is not None and self._pending_scalars is not None:
+            self._write_scalar_metrics(*self._pending_scalars)
+            self._pending_scalars = None
 
     def check_finite(self, metrics):
         """Raise RuntimeError on NaN loss (reference solvers/vae.py:112-113)."""
@@ -317,7 +359,7 @@ class VAESolver:
 
     # -- observability ----------------------------------------------------
 
-    def _write_step_metrics(self, state, batch, metrics, cur_iter: int):
+    def _write_scalar_metrics(self, metrics, cur_iter: int):
         losses = dict(
             r_loss=float(metrics["loss_rec"]),
             kl_loss=float(metrics["loss_kl"]),
@@ -329,13 +371,21 @@ class VAESolver:
                     "diff_kl", "fc_grad_norm"):
             if tag in metrics:
                 self.writer.add_scalar(tag, float(metrics[tag]), global_step=cur_iter)
+        if "tc_decomp/mi" in metrics:  # kl_kind='tc_full' (quirk Q11)
+            self.writer.add_scalars(
+                "tc_decomp",
+                {k: float(metrics[f"tc_decomp/{k}"]) for k in ("mi", "tc", "kl")},
+                global_step=cur_iter,
+            )
         if self.hyper.clip and "total_norm" in metrics:
             self.writer.add_scalar(
                 "total_norm", float(metrics["total_norm"]), global_step=cur_iter
             )
+        self.writer.flush()
+
+    def _write_heavy_metrics(self, state, batch, cur_iter: int):
         self._write_images_helper(state, batch, cur_iter)
         self.write_disentanglemnt_scores(state, cur_iter)
-        self.writer.flush()
 
     def write_scalars(self, cur_iter: int, losses: dict, **kwargs):
         if self.writer is not None:

@@ -38,6 +38,7 @@ from intro_tc_vae_tpu.solvers.base import (
     global_norm,
     kl_term,
     rec_term,
+    tc_decomp_metrics,
 )
 
 sg = jax.lax.stop_gradient
@@ -133,6 +134,8 @@ def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d,
                 expelbo_f=expelbo_fake,
                 stats={"encoder": se, "decoder": sd},
             )
+            if h.kl_kind == "tc_full":
+                aux.update(tc_decomp_metrics(h, z, mu, logvar))
             return lossE, aux
 
         (lossE, aux_e), grads_e = jax.value_and_grad(loss_e, has_aux=True)(
@@ -244,6 +247,9 @@ def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d,
             expelbo_r=aux_e["expelbo_r"],
             diff_kl=-aux_e["lossE_real_kl"] + aux_d["lossD_fake_kl"],
             fc_grad_norm=fc_grad_norm,
+        )
+        metrics.update(
+            {k: v for k, v in aux_e.items() if k.startswith("tc_decomp/")}
         )
         if h.clip:
             metrics["total_norm_E"] = total_norm_e

@@ -20,6 +20,7 @@ from intro_tc_vae_tpu.solvers.base import (
     global_norm,
     kl_term,
     rec_term,
+    tc_decomp_metrics,
 )
 
 
@@ -47,6 +48,8 @@ def build_vae_step(h: SolverHyper, encoder, decoder, opt_e, opt_d):
                 r_loss_unscaled=loss_rec / jnp.maximum(h.beta_rec, 1e-12),
                 batch_stats={"encoder": stats_e, "decoder": stats_d},
             )
+            if h.kl_kind == "tc_full":
+                aux.update(tc_decomp_metrics(h, z, mu, logvar))
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -60,6 +63,7 @@ def build_vae_step(h: SolverHyper, encoder, decoder, opt_e, opt_d):
             r_loss_unscaled=aux["r_loss_unscaled"],
             fc_grad_norm=global_norm(grads["encoder"]["fc"]),
         )
+        metrics.update({k: v for k, v in aux.items() if k.startswith("tc_decomp/")})
         if h.clip:
             grads, total_norm = clip_by_global_norm(grads, h.clip)
             metrics["total_norm"] = total_norm

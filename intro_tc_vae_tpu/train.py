@@ -83,14 +83,17 @@ def train_soft_intro_vae(config: Config):
     # ----- mesh + sharding -----
     mp = max(1, config.model_parallel)
     n_avail = config.data_parallel or len(jax.devices())
-    if config.data_parallel and config.batch_size % config.data_parallel != 0:
-        raise ValueError(
-            f"batch_size {config.batch_size} not divisible by requested "
-            f"data_parallel={config.data_parallel}"
-        )
     if n_avail % mp != 0:
         raise ValueError(
             f"{n_avail} devices not divisible by model_parallel={mp}"
+        )
+    # config.data_parallel sets the TOTAL mesh size; the batch shards over
+    # the data axis only (n // mp rows per data shard)
+    if config.data_parallel and config.batch_size % (n_avail // mp) != 0:
+        raise ValueError(
+            f"batch_size {config.batch_size} not divisible by the data-axis "
+            f"size {n_avail // mp} (data_parallel={config.data_parallel} "
+            f"total devices / model_parallel={mp})"
         )
     # auto mode: largest total device count whose data axis divides the batch
     n_total = next(
@@ -255,6 +258,8 @@ def train_soft_intro_vae(config: Config):
             save_checkpoint(state, epoch, cur_iter, prefix,
                             checkpoint_dir=config.checkpoint_dir,
                             async_save=config.async_checkpoint)
+
+    solver.flush_writes()  # drain the one-step-behind scalar buffer
 
     from intro_tc_vae_tpu.utils.checkpoint import finalize_checkpoints
 

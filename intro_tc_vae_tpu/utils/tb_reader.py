@@ -120,6 +120,20 @@ class TensorboardReader:
         path = flat if flat.is_dir() else nested
         return TagConverter(path).get_df(main)
 
+    # -- tc_decomp (reference solvers/tc.py:129-139, quirk Q11) -----------
+
+    @property
+    def tc_decomp_mi(self):
+        return self._score_df("tc_decomp", "mi")
+
+    @property
+    def tc_decomp_tc(self):
+        return self._score_df("tc_decomp", "tc")
+
+    @property
+    def tc_decomp_kl(self):
+        return self._score_df("tc_decomp", "kl")
+
     # -- hparams ----------------------------------------------------------
 
     @property

@@ -57,6 +57,89 @@ class TestBlockwise:
         assert np.isfinite(np.asarray(pm)).all()
 
 
+class TestShardedGlobalBatch:
+    """Global-batch TC under a DP8 mesh (SURVEY §5.7): the sharded scaling
+    impls must reproduce the single-device estimator on the concatenated
+    batch — values and gradients (the all_gather transpose carries the
+    cross-chip dmu reduction)."""
+
+    def _mesh(self):
+        from intro_tc_vae_tpu.parallel import make_mesh
+
+        return make_mesh(8)
+
+    def test_blockwise_sharded_matches_xla(self, inputs):
+        z, mu, logvar = inputs
+        mesh = self._mesh()
+
+        ref = ops.total_correlation(z, mu, logvar, N, impl="xla")
+        tc = ops.total_correlation_sharded(
+            z, mu, logvar, N, mesh, impl="blockwise"
+        )
+        np.testing.assert_allclose(float(tc), float(ref), rtol=1e-5, atol=1e-5)
+
+        per_sample = ops.total_correlation_sharded(
+            z, mu, logvar, N, mesh, impl="blockwise", reduce="none"
+        )
+        per_ref = ops.total_correlation(z, mu, logvar, N, impl="xla",
+                                        reduce="none")
+        np.testing.assert_allclose(np.asarray(per_sample), np.asarray(per_ref),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_blockwise_sharded_grads_match_xla(self, inputs):
+        z, mu, logvar = inputs
+        mesh = self._mesh()
+
+        g_ref = jax.grad(
+            lambda *a: ops.total_correlation(*a, N, impl="xla"),
+            argnums=(0, 1, 2),
+        )(z, mu, logvar)
+        g_sh = jax.grad(
+            lambda *a: ops.total_correlation_sharded(*a, N, mesh,
+                                                     impl="blockwise"),
+            argnums=(0, 1, 2),
+        )(z, mu, logvar)
+        for a, b in zip(g_ref, g_sh):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_pallas_sharded_matches_xla(self, inputs):
+        from jax.experimental.pallas import tpu as pltpu
+
+        z, mu, logvar = inputs
+        mesh = self._mesh()
+
+        ref = ops.total_correlation(z, mu, logvar, N, impl="xla")
+        g_ref = jax.grad(
+            lambda *a: ops.total_correlation(*a, N, impl="xla"),
+            argnums=(0, 1, 2),
+        )(z, mu, logvar)
+
+        with pltpu.force_tpu_interpret_mode():
+            tc = ops.total_correlation_sharded(
+                z, mu, logvar, N, mesh, impl="pallas"
+            )
+            g_pal = jax.grad(
+                lambda *a: ops.total_correlation_sharded(*a, N, mesh,
+                                                         impl="pallas"),
+                argnums=(0, 1, 2),
+            )(z, mu, logvar)
+        np.testing.assert_allclose(float(tc), float(ref), rtol=1e-5, atol=1e-5)
+        for a, b in zip(g_ref, g_pal):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_dispatch_from_total_correlation(self, inputs):
+        """ops.total_correlation(mesh=...) routes scaling impls through the
+        sharded path (what solvers do via SolverHyper.tc_mesh)."""
+        z, mu, logvar = inputs
+        mesh = self._mesh()
+        ref = ops.total_correlation(z, mu, logvar, N, impl="xla")
+        tc = ops.total_correlation(z, mu, logvar, N, impl="blockwise",
+                                   mesh=mesh)
+        np.testing.assert_allclose(float(tc), float(ref), rtol=1e-5)
+
+
 class TestPallasInterpret:
     """Pallas kernel in interpreter mode (CPU) — numerics vs XLA path."""
 

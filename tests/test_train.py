@@ -83,6 +83,7 @@ def test_train_with_tensorboard_writes_everything(tmp_path):
         test_iter=2,
         log_dir=str(tmp_path / "runs" / "tb"),
         save_interval=1000,
+        kl_kind="tc_full",  # exercise the tc_decomp/{mi,tc,kl} tags (Q11)
     )
     train_soft_intro_vae(config)
 
@@ -107,6 +108,10 @@ def test_train_with_tensorboard_writes_everything(tmp_path):
     # must find them
     assert len(reader.r_loss_scaled) > 0
     assert len(reader.kl_loss_scaled) > 0
+    # full-decomposition observability (reference solvers/tc.py:129-139)
+    assert len(reader.tc_decomp_mi) > 0
+    assert len(reader.tc_decomp_tc) > 0
+    assert len(reader.tc_decomp_kl) > 0
     assert len(reader.dci_completeness_score) > 0
     assert len(reader.modularity_score) > 0
     # bvae can legitimately skip on degenerate single-class draws with a
