@@ -32,6 +32,7 @@ if _REPO not in sys.path:  # runnable as `python analysis/parity_curves.py`
 
 B, ZDIM, IMG = 16, 16, 32
 CHANNELS = (8, 16)
+ARCH = "res"
 BETAS = dict(beta_rec=0.75, beta_kl=0.5)
 INTRO = dict(beta_neg=64.0, gamma_r=1e-8)
 LR = 2e-4
@@ -103,7 +104,7 @@ def run_reference(ref, solver_name, batches, dataset_size):
     import torch
 
     torch.manual_seed(0)
-    model = ref.models.SoftIntroVAE(arch="res", cdim=3, zdim=ZDIM,
+    model = ref.models.SoftIntroVAE(arch=ARCH, cdim=3, zdim=ZDIM,
                                     channels=list(CHANNELS), image_size=IMG)
     model.train()
     opt_e = torch.optim.Adam(model.encoder.parameters(), lr=LR)
@@ -151,15 +152,15 @@ def run_ours(solver_name, tmodel, batches, dataset_size):
     kwargs = dict(cdim=3, zdim=ZDIM, channels=CHANNELS, image_size=IMG)
     solver = make_solver(
         solver_name, dataset=_LenOnly(dataset_size),
-        encoder=Encoder(arch="res", **kwargs),
-        decoder=Decoder(arch="res", **kwargs),
+        encoder=Encoder(arch=ARCH, **kwargs),
+        decoder=Decoder(arch=ARCH, **kwargs),
         batch_size=B,
         optimizer_e=make_optimizer("adam", LR),
         optimizer_d=make_optimizer("adam", LR),
         recon_loss_type="mse", clip=1e9, **BETAS, **INTRO,
     )
     params, stats = torch_state_dict_to_flax(
-        tmodel.state_dict(), "res", conv_output_size(IMG, CHANNELS)
+        tmodel.state_dict(), ARCH, conv_output_size(IMG, CHANNELS)
     )
     # NOTE: transplant from the torch model's INITIAL weights — caller must
     # pass a freshly initialized tmodel snapshot (we deep-copied upstream).
@@ -183,7 +184,7 @@ def smooth(xs, k=10):
 
 
 def main():
-    global ZDIM
+    global ZDIM, IMG, CHANNELS, B
     ap = argparse.ArgumentParser()
     ap.add_argument("--solver", default="tc",
                     choices=["vae", "tc", "intro", "intro_tc"])
@@ -192,8 +193,20 @@ def main():
     ap.add_argument("--reference", default="/root/reference")
     ap.add_argument("--beta-neg", type=float, default=INTRO["beta_neg"])
     ap.add_argument("--z-dim", type=int, default=ZDIM)
+    # true-flagship spatial scale (VERDICT r2 next #4): --image-size 64
+    # --channels 64,128,256,512 reproduces the reference README recipe's
+    # scale = 1/(3*64*64) expELBO regime (reference solvers/vae.py:61)
+    ap.add_argument("--arch", default="res")
+    ap.add_argument("--image-size", type=int, default=IMG)
+    ap.add_argument("--channels", default=",".join(str(c) for c in CHANNELS))
+    ap.add_argument("--batch", type=int, default=B)
     args = ap.parse_args()
     ZDIM = args.z_dim
+    IMG = args.image_size
+    CHANNELS = tuple(int(c) for c in args.channels.split(","))
+    B = args.batch
+    global ARCH
+    ARCH = args.arch
     INTRO["beta_neg"] = args.beta_neg
     os.makedirs(args.out, exist_ok=True)
 
@@ -214,7 +227,7 @@ def main():
     ]
 
     torch.manual_seed(0)
-    init_model = ref.models.SoftIntroVAE(arch="res", cdim=3, zdim=ZDIM,
+    init_model = ref.models.SoftIntroVAE(arch=ARCH, cdim=3, zdim=ZDIM,
                                          channels=list(CHANNELS), image_size=IMG)
     init_snapshot = copy.deepcopy(init_model.state_dict())
 

@@ -31,10 +31,18 @@ NORTH_STAR = 20000.0
 
 
 def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc",
-         tc_impl="xla", iters=ITERS, scan=1, fuse=True, emit=True):
+         tc_impl="xla", iters=ITERS, scan=1, fuse=True, emit=True, tb=False):
     from intro_tc_vae_tpu.data import Synthetic
     from intro_tc_vae_tpu.models import Decoder, Encoder
     from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
+
+    writer = None
+    if tb:  # measure the full train_step with live TensorBoard writes
+        import tempfile
+
+        from intro_tc_vae_tpu.utils import make_writer
+
+        writer = make_writer(log_dir=tempfile.mkdtemp(prefix="itcvae-tbbench-"))
 
     precision = "bf16" if jax.devices()[0].platform == "tpu" else "fp32"
     dtype = jnp.bfloat16 if precision == "bf16" else None
@@ -59,6 +67,8 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
         tc_impl=tc_impl,
         scan_steps=scan,
         fuse_passes=fuse,
+        writer=writer,
+        test_iter=10**9,  # TB bench: scalar writes only, no image/metric dumps
     )
 
     x = jnp.asarray(dataset.get_batch(np.arange(batch) % len(dataset)))
@@ -66,16 +76,21 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
     if scan > 1:
         x = jnp.broadcast_to(x[None], (scan, *x.shape))
 
+    def run_step(st, xx, it):
+        if tb:  # full host path: one-step-behind scalar writes included
+            return solver.train_step(st, xx, it)
+        return solver._step_fn(st, xx)
+
     # warmup / compile. NOTE: on the axon tunnel block_until_ready returns
     # before execution finishes; only a host value fetch forces the chain,
     # so timing brackets use float() fetches of chain-dependent values.
-    for _ in range(WARMUP):
-        state, metrics = solver._step_fn(state, x)
+    for w in range(WARMUP):
+        state, metrics = run_step(state, x, w)
     last = float(metrics["loss_enc"])
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = solver._step_fn(state, x)
+    for it in range(iters):
+        state, metrics = run_step(state, x, WARMUP + it)
     last = float(metrics["loss_enc"])  # depends on every prior step's state
     dt = time.perf_counter() - t0
 
@@ -92,27 +107,46 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
 
 
 def headline():
-    """Driver entry (no args): flagship batch-64 AND best-batch throughput.
+    """Driver entry (no args): sweep {paired, unpaired} x batch {64,128,256}
+    and report the best config's throughput — median of 3 repeats of the
+    winner (VERDICT r2 weak #1/#6). All sweep rows ride along as extra
+    fields; a failed config never sinks the headline.
 
     BASELINE.json's metric ("images/sec/chip at 64x64, intro_tc") does not
-    pin the batch; report the best batch as the headline value and the
-    flagship batch-64 recipe alongside (VERDICT r1 Weak #3).
+    pin the batch; pairing helps at small batch and hurts once the batch
+    alone fills the MXU (measured crossover in BENCHMARKS.md).
     """
-    b64 = main(batch=64, emit=False)
-    try:
-        b128 = main(batch=128, emit=False)
-    except Exception as e:  # never lose the b64 headline to a b128 failure
-        print(f"batch-128 pass failed ({e!r}); reporting batch 64", flush=True)
-        b128 = 0.0
-    best, best_batch = (b64, 64) if b64 >= b128 else (b128, 128)
+    rows: dict[str, float] = {}
+    for fuse in (True, False):
+        for batch in (64, 128, 256):
+            key = f"b{batch}_{'paired' if fuse else 'unpaired'}"
+            try:
+                rows[key] = round(main(batch=batch, fuse=fuse, emit=False), 1)
+            except Exception as e:
+                print(f"{key} failed ({e!r})", flush=True)
+                rows[key] = 0.0
+
+    best_key = max(rows, key=rows.get)  # type: ignore[arg-type]
+    best_batch = int(best_key.split("_")[0][1:])
+    best_fuse = best_key.endswith("_paired")
+    repeats = [rows[best_key]]
+    for _ in range(2):
+        try:
+            repeats.append(round(main(batch=best_batch, fuse=best_fuse,
+                                      emit=False), 1))
+        except Exception as e:
+            print(f"repeat of {best_key} failed ({e!r})", flush=True)
+    value = float(np.median(repeats))
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
-        "value": round(best, 1),
+        "value": round(value, 1),
         "unit": "img/s",
-        "vs_baseline": round(best / NORTH_STAR, 4),
+        "vs_baseline": round(value / NORTH_STAR, 4),
         "batch": best_batch,
-        "batch64_flagship": round(b64, 1),
-        "batch128": round(b128, 1),
+        "fuse_passes": best_fuse,
+        "repeats": repeats,
+        "batch64_flagship": rows.get("b64_paired", 0.0),
+        **rows,
     }))
 
 
@@ -129,9 +163,12 @@ if __name__ == "__main__":
                     help="fuse K steps per dispatch (lax.scan)")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable paired-pass fusion (solvers/intro.py)")
+    ap.add_argument("--tb", action="store_true",
+                    help="bench the full train_step with a live TensorBoard "
+                         "writer (one-step-behind scalar fetches)")
     a = ap.parse_args()
     if a.batch == 0:
         headline()
     else:
         main(a.batch, a.image_size, a.arch, a.solver, a.tc_impl, a.iters,
-             a.scan, fuse=not a.no_fuse)
+             a.scan, fuse=not a.no_fuse, tb=a.tb)

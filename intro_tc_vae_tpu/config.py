@@ -56,9 +56,13 @@ class Config:
     data_parallel: int = 0      # 0 = all local devices; N = mesh size
     model_parallel: int = 1     # tensor-parallel mesh axis size
     scan_steps: int = 1         # fuse K train steps into one XLA program
-    fuse_passes: bool = True    # pair the intro step's independent passes
-                                # into 2x-batch calls (per-group BN stats;
-                                # numerics-identical, see solvers/intro.py)
+    fuse_passes: Optional[bool] = None  # pair the intro step's independent
+                                # passes into 2x-batch calls (per-group BN
+                                # stats; numerics-identical, solvers/intro.py).
+                                # None = batch-adaptive: pairing wins when the
+                                # batch alone underfills the MXU (<= the
+                                # measured crossover, BENCHMARKS.md), hurts
+                                # past it; explicit true/false forces it
     data_root: Optional[str] = None
     checkpoint_dir: str = "./saves"
     async_checkpoint: bool = False  # background (Orbax async) saves: the

@@ -162,7 +162,14 @@ def train_soft_intro_vae(config: Config):
         scan_steps=scan_steps,
         mesh=mesh,
         batch_sharding=b_sharding,
-        fuse_passes=config.fuse_passes,
+        fuse_passes=(
+            config.fuse_passes if config.fuse_passes is not None
+            # measured crossover (BENCHMARKS.md): pairing (2x-batch calls)
+            # beats unpaired below ~batch 128; past it the batch alone
+            # fills the MXU and pairing's extra copies cost more than the
+            # occupancy it buys
+            else config.batch_size < 128
+        ),
     )
 
     sample_shape = (1, image_size, image_size, ch)
