@@ -282,7 +282,14 @@ class VAESolver:
             pass  # plain (non-factor) dataset: no disentanglement metrics
 
         self.scan_steps = int(scan_steps)
-        self._pending_scalars = None  # (metrics, cur_iter) written one step behind
+        # scalar write ring: device metric dicts buffered K steps deep and
+        # fetched/written in one batch — on the axon tunnel a completion
+        # wait costs ~20ms regardless of payload, so per-step fetches
+        # serialize the pipeline (2,252 -> 1,364 img/s measured) while a
+        # K=8 ring amortizes it to ~2.5ms/step. Every step's values still
+        # land at their own global_step.
+        self._scalar_buffer: list = []
+        self._scalar_buffer_depth = 8
         step = self.build_step()
         if self.scan_steps > 1:
             step = _scan_steps(step, self.scan_steps)
@@ -331,25 +338,38 @@ class VAESolver:
         new_state, metrics = self._step_fn(state, batch)
 
         if self.writer is not None:
-            # Scalars are written ONE STEP BEHIND: float() on step N's
-            # device metrics would block on the step just dispatched and
-            # serialize the pipeline (the reference pays .item() every
-            # step). Buffering the dict (fresh outputs, never donated) and
-            # fetching it after step N+1 is dispatched keeps the device
-            # busy. Image grids + disentanglement metrics are test_iter-
-            # gated (rare) and still run synchronously on the current state.
-            if self._pending_scalars is not None:
-                self._write_scalar_metrics(*self._pending_scalars)
-            self._pending_scalars = (metrics, cur_iter)
+            # Scalars are written BEHIND the device: fetching step N's
+            # metrics immediately would block on the step just dispatched
+            # (the reference pays .item() every step). The ring buffers
+            # device dicts (fresh outputs, never donated) and drains K at
+            # a time with ONE batched fetch — on the axon tunnel any
+            # completion wait costs ~20ms regardless of payload, so the
+            # ring amortizes it to ~2.5ms/step. Image grids +
+            # disentanglement metrics are test_iter-gated (rare) and run
+            # synchronously on the current state.
+            self._scalar_buffer.append((metrics, cur_iter))
+            # drain only entries >=2 steps old: those steps have already
+            # completed, so the batched fetch costs ~0.1ms instead of
+            # blocking on the step just dispatched (which would idle the
+            # device for the drain duration every K steps)
+            if len(self._scalar_buffer) >= self._scalar_buffer_depth + 2:
+                tail = self._scalar_buffer[-2:]
+                self._scalar_buffer = self._scalar_buffer[:-2]
+                self.flush_writes()
+                self._scalar_buffer = tail
             vis_batch = batch[-1] if self.scan_steps > 1 else batch
             self._write_heavy_metrics(new_state, vis_batch, cur_iter)
         return new_state, metrics
 
     def flush_writes(self):
-        """Drain the one-step-behind scalar buffer (end of training)."""
-        if self.writer is not None and self._pending_scalars is not None:
-            self._write_scalar_metrics(*self._pending_scalars)
-            self._pending_scalars = None
+        """Drain the scalar write ring (one batched device fetch)."""
+        if self.writer is None or not self._scalar_buffer:
+            return
+        buffered = self._scalar_buffer
+        self._scalar_buffer = []
+        fetched = jax.device_get([m for m, _ in buffered])
+        for host_metrics, (_, it) in zip(fetched, buffered):
+            self._write_scalar_metrics(host_metrics, it)
 
     def check_finite(self, metrics):
         """Raise RuntimeError on NaN loss (reference solvers/vae.py:112-113)."""
@@ -360,6 +380,7 @@ class VAESolver:
     # -- observability ----------------------------------------------------
 
     def _write_scalar_metrics(self, metrics, cur_iter: int):
+        """Write one step's (host-side) scalar dict to TensorBoard."""
         losses = dict(
             r_loss=float(metrics["loss_rec"]),
             kl_loss=float(metrics["loss_kl"]),

@@ -212,38 +212,54 @@ def train_soft_intro_vae(config: Config):
                             async_save=config.async_checkpoint)
 
         pbar = tqdm(iterable=loader)
-        pending = None  # previous step's device metrics: fetched one step
-        # behind so the host never stalls the device pipeline
+        # Device metrics ring: fetched K steps behind in ONE batched
+        # device_get. On the axon tunnel ANY completion wait costs ~20ms
+        # regardless of payload, so a per-step fetch serializes the
+        # pipeline (measured 2,252 -> ~1,360 img/s); an 8-deep ring
+        # amortizes it to ~2.5ms/step. Every step's losses are still
+        # NaN-checked and accumulated — fail-fast latency is <=8 steps
+        # (the reference checks each step, at each-step sync cost).
+        pending: list = []
+        RING = 8
+
+        def drain_pending(keep_tail: int = 0):
+            # keep_tail=2 in the hot loop: only fetch metrics of steps
+            # that already completed (a fetch of the just-dispatched step
+            # would idle the device for the whole drain)
+            nonlocal pending, last_epoch_loss
+            batch_sel, pending = pending[:len(pending) - keep_tail], \
+                pending[len(pending) - keep_tail:]
+            if not batch_sel:
+                return
+            sel = [
+                {k: m[k] for k in
+                 ("loss_enc", "loss_dec", "loss_kl", "loss_rec", "L2")
+                 if k in m}
+                for m in batch_sel
+            ]
+            for fetched in jax.device_get(sel):
+                loss_dict = {k: float(v) for k, v in fetched.items()}
+                solver.check_finite(loss_dict)
+                pbar.set_postfix(loss_dict, refresh=False)
+                if epoch == config.num_epochs - 1:
+                    loss_dict.pop("L2", None)
+                    last_epoch_loss += LossDict(loss_dict)
+
         with profile_trace(enabled=config.profile):
             for batch in pbar:
                 timer.start()
                 state, metrics = solver.train_step(state, batch, cur_iter)
                 timer.stop()
 
-                if pending is not None:
-                    loss_dict = {k: float(pending[k]) for k in
-                                 ("loss_enc", "loss_dec", "loss_kl", "loss_rec")
-                                 if k in pending}
-                    if "L2" in pending:
-                        loss_dict["L2"] = float(pending["L2"])
-                    solver.check_finite(loss_dict)
-                    pbar.set_postfix(loss_dict)
-                    if epoch == config.num_epochs - 1:
-                        loss_dict.pop("L2", None)
-                        last_epoch_loss += LossDict(loss_dict)
-                pending = metrics
+                pending.append(metrics)
+                if len(pending) >= RING + 2:
+                    drain_pending(keep_tail=2)
 
                 if config.profile and cur_iter >= 50:
                     break
                 cur_iter += scan_steps
                 SingletonWriter().cur_iter = cur_iter
-        if pending is not None:
-            loss_dict = {k: float(pending[k]) for k in
-                         ("loss_enc", "loss_dec", "loss_kl", "loss_rec")
-                         if k in pending}
-            solver.check_finite(loss_dict)
-            if epoch == config.num_epochs - 1:
-                last_epoch_loss += LossDict(loss_dict)
+        drain_pending()
         pbar.close()
 
         if config.profile:
