@@ -106,25 +106,35 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
     return imgs_per_sec
 
 
-def headline():
-    """Driver entry (no args): sweep {paired, unpaired} x batch {64,128,256}
-    and report the best config's throughput — median of 3 repeats of the
-    winner (VERDICT r2 weak #1/#6). All sweep rows ride along as extra
-    fields; a failed config never sinks the headline.
+def headline(full_sweep: bool = False):
+    """Driver entry (no args): measure the flagship recipe (batch 64,
+    paired — the batch-adaptive default) and the measured-best config
+    (batch 128, unpaired — winner of the full {paired,unpaired} ×
+    {64,128,256} sweep, BENCHMARKS.md round-3 table), then repeat the
+    winner and report the median (VERDICT r2 weak #1/#6). A failed
+    config never sinks the headline.
+
+    The full 6-config sweep (~45 min of compiles on a cold cache) runs
+    with --sweep; the default keeps the driver-facing entry within a
+    ~15-minute budget while still re-validating both sides of the
+    pairing crossover.
 
     BASELINE.json's metric ("images/sec/chip at 64x64, intro_tc") does not
     pin the batch; pairing helps at small batch and hurts once the batch
     alone fills the MXU (measured crossover in BENCHMARKS.md).
     """
+    configs = (
+        [(b, f) for f in (True, False) for b in (64, 128, 256)]
+        if full_sweep else [(64, True), (128, False)]
+    )
     rows: dict[str, float] = {}
-    for fuse in (True, False):
-        for batch in (64, 128, 256):
-            key = f"b{batch}_{'paired' if fuse else 'unpaired'}"
-            try:
-                rows[key] = round(main(batch=batch, fuse=fuse, emit=False), 1)
-            except Exception as e:
-                print(f"{key} failed ({e!r})", flush=True)
-                rows[key] = 0.0
+    for batch, fuse in configs:
+        key = f"b{batch}_{'paired' if fuse else 'unpaired'}"
+        try:
+            rows[key] = round(main(batch=batch, fuse=fuse, emit=False), 1)
+        except Exception as e:
+            print(f"{key} failed ({e!r})", flush=True)
+            rows[key] = 0.0
 
     best_key = max(rows, key=rows.get)  # type: ignore[arg-type]
     best_batch = int(best_key.split("_")[0][1:])
@@ -165,10 +175,13 @@ if __name__ == "__main__":
                     help="disable paired-pass fusion (solvers/intro.py)")
     ap.add_argument("--tb", action="store_true",
                     help="bench the full train_step with a live TensorBoard "
-                         "writer (one-step-behind scalar fetches)")
+                         "writer (ring-buffered scalar fetches)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="headline mode with the full {paired,unpaired} x "
+                         "{64,128,256} sweep instead of the 2-config fast path")
     a = ap.parse_args()
     if a.batch == 0:
-        headline()
+        headline(full_sweep=a.sweep)
     else:
         main(a.batch, a.image_size, a.arch, a.solver, a.tc_impl, a.iters,
              a.scan, fuse=not a.no_fuse, tb=a.tb)
