@@ -106,8 +106,11 @@ def test_train_with_tensorboard_writes_everything(tmp_path):
 
     # add_scalars families live in sub-runs; tb_reader's typed accessors
     # must find them
-    assert len(reader.r_loss_scaled) > 0
-    assert len(reader.kl_loss_scaled) > 0
+    # ring-buffered writes must still land EVERY step's scalars at its own
+    # global_step (64 imgs / batch 16 = 4 steps; drained by flush_writes)
+    assert len(reader.r_loss_scaled) == 4
+    assert len(reader.kl_loss_scaled) == 4
+    assert sorted(reader.r_loss_scaled["step"]) == [0, 1, 2, 3]
     # full-decomposition observability (reference solvers/tc.py:129-139)
     assert len(reader.tc_decomp_mi) > 0
     assert len(reader.tc_decomp_tc) > 0
