@@ -14,7 +14,7 @@ from typing import Callable, Tuple
 import numpy as np
 from sklearn.ensemble import GradientBoostingClassifier, RandomForestClassifier
 from sklearn.linear_model import LogisticRegression
-from sklearn.metrics import accuracy_score, mutual_info_score, roc_auc_score
+from sklearn.metrics import accuracy_score, roc_auc_score
 from sklearn.preprocessing import MultiLabelBinarizer, StandardScaler
 
 from intro_tc_vae_tpu import ops
@@ -179,18 +179,55 @@ def discretize(x: np.ndarray, bins: int) -> np.ndarray:
     return out
 
 
+def _dense_codes(columns: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Recode every column of a discrete-valued [n, d] array to 0..K-1."""
+    codes = np.empty(columns.shape, dtype=np.int64)
+    k = 1
+    for i in range(columns.shape[1]):
+        _, codes[:, i] = np.unique(columns[:, i], return_inverse=True)
+    if codes.size:
+        k = int(codes.max()) + 1
+    return codes, k
+
+
 def calculate_mutual_info(z: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """MI between every latent column and factor column (utils.py:256-264)."""
-    mi = np.zeros([z.shape[1], v.shape[1]])
-    for i in range(z.shape[1]):
-        for j in range(v.shape[1]):
-            mi[i, j] = mutual_info_score(z[:, i], v[:, j])
-    return mi
+    """MI (nats) between every latent column and every factor column.
+
+    Parity surface of reference evaluation/utils.py:256-264, which calls
+    ``sklearn.mutual_info_score`` per (latent, factor) pair — O(dz·dv)
+    passes over the data. Here one ``bincount`` per factor builds the
+    joint contingency of that factor against ALL latents at once and the
+    plug-in estimate Σ p_ab·log(p_ab/(p_a·p_b)) is evaluated vectorized;
+    equality with sklearn is pinned by tests/test_evaluation.py.
+    """
+    n, dz = z.shape
+    dv = v.shape[1]
+    if n == 0 or dz == 0 or dv == 0:
+        return np.zeros([dz, dv])
+    zc, kz = _dense_codes(z)
+    vc, kv = _dense_codes(v)
+    lane = np.arange(dz, dtype=np.int64)[None, :] * (kz * kv)
+    mi = np.empty((dz, dv))
+    for j in range(dv):
+        flat = lane + zc * kv + vc[:, j:j + 1]
+        joint = np.bincount(flat.ravel(), minlength=dz * kz * kv)
+        joint = joint.reshape(dz, kz, kv).astype(np.float64)
+        pz = joint.sum(axis=2, keepdims=True)          # [dz, kz, 1]
+        pv = joint.sum(axis=1, keepdims=True)          # [dz, 1, kv]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            contrib = joint * (np.log(joint * n) - np.log(pz * pv))
+        mi[:, j] = np.where(joint > 0, contrib, 0.0).sum(axis=(1, 2)) / n
+    # the plug-in estimate is >= 0; clip float residue like sklearn does
+    return np.clip(mi, 0.0, None)
 
 
 def calculate_entropy(v: np.ndarray) -> np.ndarray:
-    """Per-factor entropy H(v_j) = I(v_j; v_j) (utils.py:267-273)."""
-    return np.array([mutual_info_score(v[:, j], v[:, j]) for j in range(v.shape[1])])
+    """Per-factor entropy H(v_j), computed as I(v_j; v_j) exactly like the
+    reference (utils.py:267-273) — the diagonal of the MI matrix."""
+    return np.array(
+        [calculate_mutual_info(v[:, j:j + 1], v[:, j:j + 1])[0, 0]
+         for j in range(v.shape[1])]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -157,3 +157,48 @@ class TestMetrics:
         assert 0.0 <= mod <= 1.0
         assert 0.0 <= expl <= 1.0
         assert expl > 0.9  # perfect latents are fully predictive
+
+
+class TestMutualInfoVectorized:
+    """The vectorized contingency MI must equal sklearn's pairwise
+    mutual_info_score (the reference's estimator, evaluation/utils.py:256-273)
+    to float precision."""
+
+    def test_matches_sklearn_pairwise(self):
+        from sklearn.metrics import mutual_info_score
+
+        from intro_tc_vae_tpu.evaluation import utils
+
+        rng = np.random.RandomState(7)
+        z = rng.randint(0, 11, size=(500, 6)).astype(np.float64)
+        v = rng.randint(0, 4, size=(500, 3))
+        got = utils.calculate_mutual_info(z, v)
+        want = np.array([[mutual_info_score(z[:, i], v[:, j])
+                          for j in range(v.shape[1])] for i in range(z.shape[1])])
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_entropy_matches_sklearn_self_mi(self):
+        from sklearn.metrics import mutual_info_score
+
+        from intro_tc_vae_tpu.evaluation import utils
+
+        rng = np.random.RandomState(3)
+        v = rng.randint(0, 5, size=(400, 4))
+        got = utils.calculate_entropy(v)
+        want = np.array([mutual_info_score(v[:, j], v[:, j]) for j in range(4)])
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_discretized_float_input(self):
+        """The MIG path feeds digitize() output (floats) — codes must handle it."""
+        from sklearn.metrics import mutual_info_score
+
+        from intro_tc_vae_tpu.evaluation import utils
+
+        rng = np.random.RandomState(11)
+        mu = rng.randn(300, 5)
+        zb = utils.discretize(mu, bins=10)
+        v = rng.randint(0, 3, size=(300, 2))
+        got = utils.calculate_mutual_info(zb, v)
+        want = np.array([[mutual_info_score(zb[:, i], v[:, j])
+                          for j in range(2)] for i in range(5)])
+        np.testing.assert_allclose(got, want, atol=1e-12)
