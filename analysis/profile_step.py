@@ -35,7 +35,7 @@ def trace_step(solver_name, batch, image_size, arch, zdim, steps, precision):
     from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
 
     channels = {64: (64, 128, 256, 512), 128: (64, 128, 256, 512, 512),
-                32: (16, 32)}[image_size]
+                256: (64, 128, 256, 512, 512, 512), 32: (16, 32)}[image_size]
     dtype = jnp.bfloat16 if precision == "bf16" else None
     ds = Synthetic(image_size=image_size, cdim=3, sizes=(4, 5, 8, 8))
     kw = dict(cdim=3, zdim=zdim, channels=channels, image_size=image_size,

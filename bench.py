@@ -106,6 +106,85 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
     return imgs_per_sec
 
 
+def infer(batch=256, image_size=IMAGE_SIZE, arch="conv", iters=ITERS):
+    """Serving-path throughput: eval-mode (running-average BN) jitted
+    decode (prior sample -> image) and encode (image -> mu), bf16 on TPU.
+
+    These are the two inference surfaces a deployed model runs
+    (itcvae-sample CLI / representation extraction for the metric
+    families); reported separately from the train step.
+    """
+    from intro_tc_vae_tpu.data import Synthetic
+    from intro_tc_vae_tpu.models import Decoder, Encoder
+    from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
+
+    precision_dtype = (jnp.bfloat16
+                       if jax.devices()[0].platform == "tpu" else None)
+    channels = {64: (64, 128, 256, 512), 128: (64, 128, 256, 512, 512),
+                256: (64, 128, 256, 512, 512, 512)}[image_size]
+    dataset = Synthetic(image_size=image_size, cdim=3, sizes=(4, 5, 8, 8))
+    kwargs = dict(cdim=3, zdim=ZDIM, channels=channels, image_size=image_size,
+                  dtype=precision_dtype)
+    solver = make_solver(
+        "vae", dataset=dataset,
+        encoder=Encoder(arch=arch, **kwargs),
+        decoder=Decoder(arch=arch, **kwargs),
+        batch_size=batch,
+        optimizer_e=make_optimizer("adam", 2e-4),
+        optimizer_d=make_optimizer("adam", 2e-4),
+        beta_kl=0.5, beta_rec=0.75,
+    )
+    x = jnp.asarray(dataset.get_batch(np.arange(batch) % len(dataset)))
+    state = solver.init_state(jax.random.key(0), x)
+
+    from intro_tc_vae_tpu.solvers.base import decode, encode
+
+    K = 10  # inference calls fused per dispatch (lax.scan) — measures the
+    #         device's sustained rate, not the host/tunnel dispatch latency
+
+    def _chained(apply_one):
+        @jax.jit
+        def run(inp):
+            def body(carry, _):
+                out = apply_one(carry)
+                # thread a zero-valued dependence of the next input on this
+                # output: every scan step is sequential on device and the
+                # single final fetch forces the whole chain (BENCHMARKS.md)
+                carry = carry + (0 * out.ravel()[0]).astype(carry.dtype)
+                return carry, out.ravel()[0].astype(jnp.float32)
+            _, probes = jax.lax.scan(body, inp, None, length=K)
+            return probes.sum()
+        return run
+
+    decode_k = _chained(lambda z_: decode(
+        solver.decoder, state.params["decoder"],
+        state.batch_stats["decoder"], z_, train=False)[0])
+    encode_k = _chained(lambda xx: encode(
+        solver.encoder, state.params["encoder"],
+        state.batch_stats["encoder"], xx, train=False)[0])
+
+    z = jax.random.normal(jax.random.key(1), (batch, ZDIM))
+    rows = {}
+    n_dispatch = max(1, iters // K)
+    for name, fn, inp in (("decode", decode_k, z), ("encode", encode_k, x)):
+        probe = fn(inp)  # compile
+        _ = float(probe)
+        # one untimed dispatch of the exact timed form: the first chained
+        # dispatch pays one-off costs (the chaining add's compile, buffer
+        # staging) that are not steady-state throughput
+        probe = probe + fn(inp + 0 * probe.astype(inp.dtype))
+        _ = float(probe)
+        t0 = time.perf_counter()
+        for _ in range(n_dispatch):
+            probe = probe + fn(inp + 0 * probe.astype(inp.dtype))
+        _ = float(probe)  # forces every dispatch's K-deep chain
+        rows[name] = round(batch * K * n_dispatch / (time.perf_counter() - t0), 1)
+    print(json.dumps({"metric": "inference_images_per_sec_per_chip",
+                      "unit": "img/s", "batch": batch,
+                      "image_size": image_size, **rows}))
+    return rows
+
+
 def headline(full_sweep: bool = False):
     """Driver entry (no args): measure the flagship recipe (batch 64,
     paired — the batch-adaptive default) and the measured-best config
@@ -179,8 +258,14 @@ if __name__ == "__main__":
     ap.add_argument("--sweep", action="store_true",
                     help="headline mode with the full {paired,unpaired} x "
                          "{64,128,256} sweep instead of the 2-config fast path")
+    ap.add_argument("--infer", action="store_true",
+                    help="serving-path bench: eval-mode jitted decode/encode "
+                         "throughput (uses --batch, default 256)")
     a = ap.parse_args()
-    if a.batch == 0:
+    if a.infer:
+        infer(batch=a.batch or 256, image_size=a.image_size, arch=a.arch,
+              iters=a.iters)
+    elif a.batch == 0:
         headline(full_sweep=a.sweep)
     else:
         main(a.batch, a.image_size, a.arch, a.solver, a.tc_impl, a.iters,
