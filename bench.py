@@ -31,7 +31,8 @@ NORTH_STAR = 20000.0
 
 
 def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc",
-         tc_impl="xla", iters=ITERS, scan=1, fuse=True, emit=True, tb=False):
+         tc_impl="xla", iters=ITERS, scan=1, fuse=True, emit=True, tb=False,
+         pack=0):
     from intro_tc_vae_tpu.data import Synthetic
     from intro_tc_vae_tpu.models import Decoder, Encoder
     from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
@@ -56,7 +57,7 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
         solver_name,
         dataset=dataset,
         encoder=Encoder(arch=arch, **kwargs),
-        decoder=Decoder(arch=arch, **kwargs),
+        decoder=Decoder(arch=arch, pack_predict=pack, **kwargs),
         batch_size=batch,
         optimizer_e=make_optimizer("adam", 2e-4),
         optimizer_d=make_optimizer("adam", 2e-4),
@@ -250,6 +251,8 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=ITERS)
     ap.add_argument("--scan", type=int, default=1,
                     help="fuse K steps per dispatch (lax.scan)")
+    ap.add_argument("--pack", type=int, default=0,
+                    help="decoder pack_predict block size (0 = plain conv)")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable paired-pass fusion (solvers/intro.py)")
     ap.add_argument("--tb", action="store_true",
@@ -269,4 +272,4 @@ if __name__ == "__main__":
         headline(full_sweep=a.sweep)
     else:
         main(a.batch, a.image_size, a.arch, a.solver, a.tc_impl, a.iters,
-             a.scan, fuse=not a.no_fuse, tb=a.tb)
+             a.scan, fuse=not a.no_fuse, tb=a.tb, pack=a.pack)

@@ -63,6 +63,12 @@ class Config:
                                 # batch alone underfills the MXU (<= the
                                 # measured crossover, BENCHMARKS.md), hurts
                                 # past it; explicit true/false forces it
+    pack_predict: int = -1      # decoder's 5x5 predict conv: >1 = pack NxN
+                                # output pixels into channels (same math,
+                                # models/blocks.py::PackedPredictConv);
+                                # -1 = auto, which currently means 0 (plain
+                                # conv): packing measured slower in-context
+                                # at every resolution (BENCHMARKS.md)
     data_root: Optional[str] = None
     checkpoint_dir: str = "./saves"
     async_checkpoint: bool = False  # background (Orbax async) saves: the

@@ -261,6 +261,89 @@ class InceptionResnetBlock(nn.Module):
         return leaky_relu(y + identity)
 
 
+class PackedPredictConv(nn.Module):
+    """The decoder's 5×5 stride-1 'SAME' conv to ``cdim`` output channels,
+    executed as an output-packed space-to-depth conv.
+
+    With only 3 output channels the plain conv uses 3/128 MXU lanes; XLA's
+    emitters leave it far off both the compute and memory bounds (measured
+    3-20 TFLOP/s effective). Packing ``block × block`` output pixels into
+    channels turns it into a 3×3 conv over ``block²·in_ch`` input channels
+    producing ``block²·cdim`` outputs at ``1/block²`` the spatial size —
+    the same dot products in a different accumulation order (standalone
+    fwd+bwd 6.6×/2.9×/1.7× faster at 64/128/256px, bf16-noise-level value
+    differences). NOTE: in the full train step the packed form measured
+    −4…−13% end-to-end at every resolution — the dense packed kernel does
+    ~5.8× the FLOPs of the 25-tap original, which eats the efficiency win
+    once the surrounding convs keep the MXU busy (BENCHMARKS.md negative
+    results) — so it ships as an option, off by default.
+
+    Parameters are stored in the plain conv's exact layout and names
+    (``kernel`` [5,5,in_ch,cdim], ``bias`` [cdim], torch-default init), so
+    checkpoints and torch transplants are interchangeable with ``conv()``;
+    the packed weight tensor is rebuilt from ``kernel`` inside the step by
+    one tiny constant-one-hot matmul (``P @ w`` — MXU-trivial; its
+    transpose in backward gives exact original-layout gradients; a scatter
+    formulation lowered to thousands of serialized updates on TPU).
+    """
+
+    cdim: int
+    in_ch: int
+    block: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        import numpy as np
+
+        k, b, cin = 5, self.block, self.in_ch
+        kernel = self.param(
+            "kernel", torch_kernel_init("conv"), (k, k, cin, self.cdim),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", torch_bias_init(cin * k * k), (self.cdim,), jnp.float32
+        )
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        w = kernel.astype(dtype)
+
+        # packed tap (di,dj, ai,ci, ao,co) pulls original tap (ky,kx):
+        # output pixel at in-block offset ao reads input row
+        # (di-1)*b + ai = ao + ky - k//2  =>  ky = (di-1)*b + ai + k//2 - ao
+        # (same table for kx with dj,ci,co); out-of-range taps are zero.
+        di, ai, ao = np.ogrid[0:3, 0:b, 0:b]
+        ky = (di - 1) * b + ai + k // 2 - ao          # [3, b, b]
+        ky = np.where((ky >= 0) & (ky < k), ky, -1)
+        sel = ky[:, None, :, None, :, None] * k + ky[None, :, None, :, None, :]
+        sel = np.where((ky[:, None, :, None, :, None] < 0)
+                       | (ky[None, :, None, :, None, :] < 0), -1, sel)
+        onehot = np.zeros((3, 3, b, b, b, b, k * k), np.float32)
+        np.put_along_axis(onehot, np.maximum(sel, 0)[..., None],
+                          (sel >= 0)[..., None].astype(np.float32), axis=-1)
+        P = jnp.asarray(onehot.reshape(-1, k * k), dtype)
+
+        # [di,dj,ai,ci,ao,co, cin,cdim] via one dense (9b⁴ × 25) matmul
+        wp = (P @ w.reshape(k * k, -1)).reshape(
+            3, 3, b, b, b, b, cin, self.cdim
+        )
+        # -> [3,3, ai,ci,cin (s2d channel order), ao,co,cdim (d2s order)]
+        wp = wp.transpose(0, 1, 2, 3, 6, 4, 5, 7).reshape(
+            3, 3, b * b * cin, b * b * self.cdim
+        )
+
+        n, h, wdt, _ = x.shape
+        xp = x.reshape(n, h // b, b, wdt // b, b, cin)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // b, wdt // b, -1)
+        yp = jax.lax.conv_general_dilated(
+            xp, wp, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        yp = yp + jnp.tile(bias, b * b).astype(yp.dtype)
+        yp = yp.reshape(n, h // b, wdt // b, b, b, self.cdim)
+        return yp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, wdt, self.cdim)
+
+
 _BLOCKS = {
     "conv": ConvolutionalBlock,
     "res": ResidualBlock,

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from intro_tc_vae_tpu.models.blocks import (
+    PackedPredictConv,
     avg_pool2,
     batch_norm,
     conv,
@@ -113,6 +114,9 @@ class Decoder(nn.Module):
     image_size: int = 256
     conv_input_size: Tuple[int, int, int] | None = None
     dtype: Any = None
+    pack_predict: int = 0  # >1: run the 5x5 predict conv output-packed
+    #                        (PackedPredictConv) — same params/math, MXU-
+    #                        friendly shape; 0 = plain conv
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = True, groups: int = 1):
@@ -133,8 +137,13 @@ class Decoder(nn.Module):
             cc, sz = ch, sz * 2
 
         y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}")(y, train, groups)
-        y = conv(self.cdim, 5, use_bias=True, in_ch=cc, dtype=self.dtype,
-                 name="predict")(y)
+        if self.pack_predict > 1 and sz % self.pack_predict == 0:
+            y = PackedPredictConv(cdim=self.cdim, in_ch=cc,
+                                  block=self.pack_predict, dtype=self.dtype,
+                                  name="predict")(y)
+        else:
+            y = conv(self.cdim, 5, use_bias=True, in_ch=cc, dtype=self.dtype,
+                     name="predict")(y)
         # sigmoid + reconstruction losses in fp32 (bf16 conv compute stays
         # inside the blocks)
         return nn.sigmoid(y.astype(jnp.float32))
@@ -154,6 +163,7 @@ class SoftIntroVAE(nn.Module):
     channels: Sequence[int] = (64, 128, 256, 512, 512, 512)
     image_size: int = 256
     dtype: Any = None
+    pack_predict: int = 0
 
     def setup(self):
         self.encoder = Encoder(
@@ -163,7 +173,7 @@ class SoftIntroVAE(nn.Module):
         self.decoder = Decoder(
             self.arch, self.cdim, self.zdim, self.channels, self.image_size,
             conv_input_size=conv_output_size(self.image_size, self.channels),
-            dtype=self.dtype, name="decoder",
+            dtype=self.dtype, pack_predict=self.pack_predict, name="decoder",
         )
 
     def __call__(self, x: jax.Array, deterministic: bool = False, train: bool = True):

@@ -117,7 +117,11 @@ def train_soft_intro_vae(config: Config):
         channels=tuple(channels), image_size=image_size, dtype=dtype,
     )
     encoder = Encoder(**model_kwargs)
-    decoder = Decoder(**model_kwargs)
+    # auto (-1) currently resolves to the plain conv: output-packing the
+    # predict conv wins 1.7-6.6x standalone but measured -4..-13% on the
+    # full step at every resolution (BENCHMARKS.md negative results)
+    pack = max(0, config.pack_predict)
+    decoder = Decoder(**model_kwargs, pack_predict=pack)
 
     # ----- optimizers (reference train.py:140-144: one per subtree) -----
     optimizer_e = make_optimizer(config.optimizer, config.lr)

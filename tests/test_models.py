@@ -163,3 +163,50 @@ class TestTorchParity:
         variables = init_model(model, (1, 64, 64, 3))
         ours = num_params(variables["params"])
         assert ours == ref_count, f"param count {ours} != reference {ref_count}"
+
+
+class TestPackedPredictConv:
+    """The MXU-packed predict conv must be a drop-in for the plain conv:
+    identical param tree/init, identical forward, matching gradients."""
+
+    @pytest.mark.parametrize("size,block,chans", [
+        (64, 4, (8, 16)), (64, 8, (8, 16)), (128, 4, (8, 16, 16)),
+    ])
+    def test_matches_plain_conv(self, size, block, chans):
+        kw = dict(cdim=3, zdim=32, channels=chans, image_size=size)
+        plain = Decoder(pack_predict=0, **kw)
+        packed = Decoder(pack_predict=block, **kw)
+        rngs = {"params": jax.random.key(0)}
+        z = jax.random.normal(jax.random.key(1), (2, 32))
+        va = plain.init(rngs, z, train=False)
+        vb = packed.init(rngs, z, train=False)
+        # same tree (names, shapes) and same init values -> checkpoints and
+        # torch transplants are interchangeable between the two modes
+        assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+        for a, b in zip(jax.tree_util.tree_leaves(va), jax.tree_util.tree_leaves(vb)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        def loss(v, dec):
+            y = dec.apply(v, z, train=False)
+            w = jnp.cos(jnp.arange(y.size, dtype=jnp.float32)).reshape(y.shape)
+            return jnp.sum(y * w)
+
+        la, ga = jax.value_and_grad(loss)(va, plain)
+        lb, gb = jax.value_and_grad(loss)(va, packed)
+        ya = plain.apply(va, z, train=False)
+        yb = packed.apply(va, z, train=False)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=5e-6)
+        assert abs(float(la - lb)) < 1e-4 * (1 + abs(float(la)))
+        for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-12
+            assert np.abs(a - b).max() / scale < 1e-3
+
+    def test_indivisible_size_falls_back(self):
+        # image_size not divisible by the block -> plain conv path (no crash)
+        dec = Decoder(cdim=3, zdim=32, channels=(8, 16), image_size=64,
+                      pack_predict=3)
+        v = dec.init({"params": jax.random.key(0)},
+                     jnp.zeros((1, 32)), train=False)
+        y = dec.apply(v, jnp.zeros((1, 32)), train=False)
+        assert y.shape == (1, 64, 64, 3)
