@@ -465,6 +465,7 @@ def load_dataset(
         "mpi3d_small": (64, [64, 128, 256, 512], 3),
         "synthetic": (64, [64, 128, 256, 512], 3),
         "synthetic128": (128, [64, 128, 256, 512, 512], 3),
+        "synthetic256": (256, [64, 128, 256, 512, 512, 512], 3),
         "synthetic_small": (32, [16, 32], 3),  # tiny: smoke tests / demos
     }
     if name not in table:

@@ -83,6 +83,14 @@ class TestUkiyoEFixture:
         img, _ = ds[0]
         assert img.shape == (128, 128, 3)
 
+    def test_load_dataset_synthetic256(self):
+        # reference-default (256px) shapes, file-free synthetic corpus
+        ds, image_size, channels, ch = load_dataset("synthetic256")
+        assert image_size == 256 and ch == 3
+        assert channels == [64, 128, 256, 512, 512, 512]
+        img = ds.get_batch(np.array([0]))
+        assert img.shape == (1, 256, 256, 3)
+
     def test_unknown_dataset_raises(self):
         with pytest.raises(NotImplementedError):
             load_dataset("imagenet")
