@@ -69,6 +69,12 @@ class Config:
                                 # -1 = auto, which currently means 0 (plain
                                 # conv): packing measured slower in-context
                                 # at every resolution (BENCHMARKS.md)
+    transfer_dtype: str = "auto"  # host->device batch transfer: 'auto'
+                                # transfers raw uint8 (4x fewer bytes;
+                                # normalized on-device, bit-identical)
+                                # whenever the dataset stores uint8 at
+                                # the target size, else float32;
+                                # 'float32'/'uint8' force a path
     data_root: Optional[str] = None
     checkpoint_dir: str = "./saves"
     async_checkpoint: bool = False  # background (Orbax async) saves: the

@@ -48,6 +48,16 @@ class DisentanglementDataset:
         """Vectorized image gather -> float32 [B, H, W, C]."""
         return np.stack([self[i][0] for i in np.asarray(indices)], axis=0)
 
+    def get_batch_raw(self, indices: np.ndarray):
+        """Raw uint8 batch [B, H, W, C], or None when no bit-exact uint8
+        path exists for this dataset.
+
+        When non-None, ``raw.astype(float32) / 255`` equals
+        ``get_batch(indices)`` bit-for-bit — so the loader can transfer
+        uint8 (4x fewer bytes over the host->device link) and normalize
+        on-device (data/loader.py ``transfer_dtype``)."""
+        return None
+
 
 def factor_bases(sizes: Sequence[int]) -> np.ndarray:
     """Mixed-radix place values: bases[k] = prod(sizes)/cumprod(sizes)[k]."""
@@ -115,6 +125,17 @@ class _ArrayDataset(DisentanglementDataset):
         if self.resize != arr.shape[1]:
             arr = resize_bicubic(arr, self.resize, self.resize)
         return arr
+
+    def get_batch_raw(self, indices: np.ndarray):
+        """uint8 gather when stored uint8 at the target size (no resize
+        stage between storage and output -> /255 is the only transform,
+        which moves to the device losslessly)."""
+        if self.imgs.dtype != np.uint8 or self.resize != self.imgs.shape[1]:
+            return None
+        from intro_tc_vae_tpu.runtime import gather_u8
+
+        arr = gather_u8(self.imgs, np.asarray(indices))
+        return arr[..., None] if arr.ndim == 3 else arr
 
 
 class DSprites(_ArrayDataset):
@@ -354,6 +375,22 @@ class UkiyoE:
 
             imgs = flip_horizontal(np.ascontiguousarray(imgs, np.float32), flags)
         return imgs
+
+    def get_batch_raw(self, indices: np.ndarray):
+        """uint8 gather+flip from the decoded cache. The cache IS the
+        uint8 stage of the decode pipeline and a flip is a pure
+        permutation, so uint8-transfer + on-device /255 is bit-identical
+        to the float path (get_batch)."""
+        if not self.cache:
+            return None
+        from intro_tc_vae_tpu.runtime import flip_horizontal, gather_u8
+
+        indices = np.asarray(indices)
+        arr = gather_u8(self._ensure_cache(), indices)
+        if self.random_flip:
+            flags = (self._rng.rand(len(indices)) < 0.5).astype(np.uint8)
+            arr = flip_horizontal(arr, flags)
+        return arr
 
     def get_label(self, index: int) -> str:
         code = self.labels.cat.codes.iloc[index]

@@ -48,6 +48,7 @@ class DeviceLoader:
         pre_process: Optional[Callable] = None,
         include_labels: bool = False,
         stack_steps: int = 1,
+        transfer_dtype: str = "float32",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -58,6 +59,17 @@ class DeviceLoader:
         self.pre_process = pre_process
         self.include_labels = include_labels
         self.stack_steps = max(1, int(stack_steps))
+        # 'uint8'/'auto': transfer raw uint8 batches (4x fewer bytes over
+        # the host->device link — the link, not the device, bounds system
+        # throughput on thin interconnects) and let the jitted step
+        # normalize on-device. Only taken when the dataset provides a
+        # bit-exact raw path (datasets.get_batch_raw); 'auto' falls back
+        # to float32 otherwise, 'uint8' raises. pre_process is a float-
+        # domain hook and is skipped on the raw path.
+        if transfer_dtype not in ("float32", "uint8", "auto"):
+            raise ValueError(f"transfer_dtype: {transfer_dtype!r}")
+        self.transfer_dtype = transfer_dtype
+        self._want_raw = transfer_dtype in ("uint8", "auto")
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
 
@@ -80,6 +92,17 @@ class DeviceLoader:
             yield order[start : start + chunk]
 
     def _gather(self, idx: np.ndarray) -> np.ndarray:
+        if self._want_raw:
+            raw_fn = getattr(self.dataset, "get_batch_raw", None)
+            raw = raw_fn(idx) if raw_fn is not None else None
+            if raw is not None:
+                return raw  # uint8; the jitted step normalizes on-device
+            if self.transfer_dtype == "uint8":
+                raise ValueError(
+                    "transfer_dtype='uint8' but the dataset has no exact "
+                    "uint8 path (get_batch_raw returned None)"
+                )
+            self._want_raw = False  # 'auto': settle on the float path
         if hasattr(self.dataset, "get_batch"):
             imgs = self.dataset.get_batch(idx)
         else:

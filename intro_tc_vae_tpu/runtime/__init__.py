@@ -5,6 +5,7 @@ from intro_tc_vae_tpu.runtime.native import (
     flip_horizontal,
     gather,
     gather_normalize,
+    gather_u8,
     resize_bicubic,
 )
 
@@ -12,6 +13,7 @@ __all__ = [
     "native_available",
     "gather_normalize",
     "gather",
+    "gather_u8",
     "resize_bicubic",
     "flip_horizontal",
 ]

@@ -52,6 +52,10 @@ def _load():
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
+        if not hasattr(lib, "gather_u8"):  # stale prebuilt .so: rebuild
+            if not os.path.exists(_SRC) or not _build():
+                return None
+            lib = ctypes.CDLL(_LIB_PATH)
 
         u8p = ctypes.POINTER(ctypes.c_uint8)
         f32p = ctypes.POINTER(ctypes.c_float)
@@ -63,6 +67,8 @@ def _load():
         lib.gather_f32.argtypes = [f32p, i64p, i64, i64, f32p]
         lib.resize_bicubic_f32.argtypes = [f32p, i64, i32, i32, i32, f32p, i32, i32]
         lib.flip_horizontal_f32.argtypes = [f32p, i64, i32, i32, i32, u8p]
+        lib.gather_u8.argtypes = [u8p, i64p, i64, i64, u8p]
+        lib.flip_horizontal_u8.argtypes = [u8p, i64, i32, i32, i32, u8p]
         _lib = lib
         return _lib
 
@@ -106,6 +112,22 @@ def gather(imgs_f32: np.ndarray, indices: np.ndarray) -> np.ndarray:
     return out
 
 
+def gather_u8(imgs_u8: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """imgs[indices] -> uint8 (raw gather for the uint8-transfer path)."""
+    lib = _load()
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    if lib is None:
+        return np.ascontiguousarray(imgs_u8[indices])
+    imgs_u8 = np.ascontiguousarray(imgs_u8)
+    elems = int(np.prod(imgs_u8.shape[1:]))
+    out = np.empty((len(indices),) + imgs_u8.shape[1:], np.uint8)
+    lib.gather_u8(
+        _ptr(imgs_u8, ctypes.c_uint8), _ptr(indices, ctypes.c_int64),
+        len(indices), elems, _ptr(out, ctypes.c_uint8),
+    )
+    return out
+
+
 def resize_bicubic(batch: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Batched PIL-compatible bicubic resize [N,H,W,C] -> [N,out_h,out_w,C]."""
     lib = _load()
@@ -130,15 +152,26 @@ def resize_bicubic(batch: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def flip_horizontal(batch: np.ndarray, flags: np.ndarray) -> np.ndarray:
-    """In-place horizontal flip of batch[i] where flags[i] (returns batch)."""
+    """In-place horizontal flip of batch[i] where flags[i] (returns batch).
+
+    Dispatches on dtype: float32 and uint8 batches are both supported
+    (flipping is a pure permutation, so uint8-then-normalize is
+    bit-identical to normalize-then-flip).
+    """
     lib = _load()
     flags = np.ascontiguousarray(flags, dtype=np.uint8)
     if lib is None:
         batch[flags.astype(bool)] = batch[flags.astype(bool), :, ::-1, :]
         return batch
-    batch = np.ascontiguousarray(batch, dtype=np.float32)
     n, h, w, c = batch.shape
-    lib.flip_horizontal_f32(
-        _ptr(batch, ctypes.c_float), n, h, w, c, _ptr(flags, ctypes.c_uint8)
-    )
+    if batch.dtype == np.uint8:
+        batch = np.ascontiguousarray(batch)
+        lib.flip_horizontal_u8(
+            _ptr(batch, ctypes.c_uint8), n, h, w, c, _ptr(flags, ctypes.c_uint8)
+        )
+    else:
+        batch = np.ascontiguousarray(batch, dtype=np.float32)
+        lib.flip_horizontal_f32(
+            _ptr(batch, ctypes.c_float), n, h, w, c, _ptr(flags, ctypes.c_uint8)
+        )
     return batch

@@ -182,6 +182,38 @@ def decode(decoder, params_d, stats_d, z, train: bool = True, groups: int = 1):
     return y, upd["batch_stats"]
 
 
+# x/255 for every uint8 value, computed with the host pipeline's IEEE
+# divide. XLA rewrites an on-device divide-by-constant into a
+# reciprocal multiply (measured: 126/256 values 1 ULP off the host
+# result), so on-device normalization reads this 256-entry constant
+# instead — a ~1 us gather that makes the uint8-transfer path
+# bit-identical to host normalization (runtime gather_normalize).
+_U8_UNIT = np.arange(256, dtype=np.float32) / 255.0
+
+
+def u8_to_unit_f32(batch: jax.Array) -> jax.Array:
+    """uint8 image batch -> float32 in [0,1], bit-identical to the host
+    pipeline's /255 (see _U8_UNIT)."""
+    return jnp.take(jnp.asarray(_U8_UNIT), batch.astype(jnp.int32))
+
+
+def _normalize_input(step_fn: Callable) -> Callable:
+    """Accept uint8 batches: normalize to float32 [0,1] on-device.
+
+    The dtype branch resolves at trace time (dtypes are static under
+    jit), so float batches compile to the identical program as before.
+    uint8 batches arrive from DeviceLoader(transfer_dtype='uint8'/'auto')
+    at 4x fewer bytes over the host->device link; the table lookup makes
+    the loss math see bit-identical inputs to the float path."""
+
+    def wrapped(state, batch):
+        if batch.dtype == jnp.uint8:
+            batch = u8_to_unit_f32(batch)
+        return step_fn(state, batch)
+
+    return wrapped
+
+
 def _scan_steps(step_fn: Callable, k: int) -> Callable:
     """Fuse k train steps into one XLA program via lax.scan.
 
@@ -290,7 +322,7 @@ class VAESolver:
         # land at their own global_step.
         self._scalar_buffer: list = []
         self._scalar_buffer_depth = 8
-        step = self.build_step()
+        step = _normalize_input(self.build_step())
         if self.scan_steps > 1:
             step = _scan_steps(step, self.scan_steps)
         self._step_fn = jax.jit(step, donate_argnums=(0,))
@@ -430,6 +462,8 @@ class VAESolver:
         (reference solvers/vae.py:147-163)."""
         if self.writer is None or cur_iter % self.test_iter != 0:
             return
+        if batch.dtype == jnp.uint8:  # uint8-transfer path: normalize here
+            batch = u8_to_unit_f32(jnp.asarray(batch))
         mu, _, _ = encode(
             self.encoder, state.params["encoder"], state.batch_stats["encoder"],
             batch, train=False,

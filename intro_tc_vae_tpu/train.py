@@ -142,6 +142,7 @@ def train_soft_intro_vae(config: Config):
         seed=seed,
         pre_process=check_range,
         stack_steps=scan_steps,
+        transfer_dtype=config.transfer_dtype,
     )
 
     # ----- solver (reference train.py:163-192) -----
@@ -207,6 +208,7 @@ def train_soft_intro_vae(config: Config):
     last_epoch_loss = LossDict()
     timer = StepTimer()
     batch = None
+    epoch_rates: list = []  # system throughput, img/s, one entry per epoch
 
     for epoch in range(start_epoch, config.num_epochs):
         if epoch % config.save_interval == 0 and epoch > 0:
@@ -249,6 +251,8 @@ def train_soft_intro_vae(config: Config):
                     loss_dict.pop("L2", None)
                     last_epoch_loss += LossDict(loss_dict)
 
+        epoch_t0 = time.perf_counter()
+        n_steps = 0
         with profile_trace(enabled=config.profile):
             for batch in pbar:
                 timer.start()
@@ -256,6 +260,7 @@ def train_soft_intro_vae(config: Config):
                 timer.stop()
 
                 pending.append(metrics)
+                n_steps += 1
                 if len(pending) >= RING + 2:
                     drain_pending(keep_tail=2)
 
@@ -263,8 +268,17 @@ def train_soft_intro_vae(config: Config):
                     break
                 cur_iter += scan_steps
                 SingletonWriter().cur_iter = cur_iter
-        drain_pending()
+        drain_pending()  # fetches the last step too -> completion-bound time
         pbar.close()
+
+        # system throughput: loader + dispatch + device + TB, per epoch
+        # (epoch 0 includes the XLA compile; the final summary skips it)
+        dt = time.perf_counter() - epoch_t0
+        if n_steps and dt > 0:
+            rate = n_steps * scan_steps * config.batch_size / dt
+            epoch_rates.append(rate)
+            if writer:
+                writer.add_scalar("perf/images_per_sec", rate, epoch)
 
         if config.profile:
             print("profile:", timer.summary())
@@ -285,6 +299,11 @@ def train_soft_intro_vae(config: Config):
             save_checkpoint(state, epoch, cur_iter, prefix,
                             checkpoint_dir=config.checkpoint_dir,
                             async_save=config.async_checkpoint)
+
+    if len(epoch_rates) > 1:  # skip epoch 0 (XLA compile dominates it)
+        steady = float(np.median(epoch_rates[1:]))
+        print(f"training throughput: {steady:,.0f} img/s "
+              f"(median of epochs after the first; {len(epoch_rates)} epochs)")
 
     solver.flush_writes()  # drain the one-step-behind scalar buffer
 

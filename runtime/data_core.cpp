@@ -157,4 +157,36 @@ void flip_horizontal_f32(float* imgs, int64_t n, int h, int w, int c,
   }
 }
 
+// out[i, ...] = imgs[indices[i], ...] (raw uint8 gather, no normalize).
+// Feeds the device-normalize transfer path: uint8 batches are 4x fewer
+// bytes over the host->device link; the /255 runs on-device instead.
+void gather_u8(const uint8_t* imgs, const int64_t* indices, int64_t n_idx,
+               int64_t img_elems, uint8_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n_idx; ++i) {
+    std::memcpy(out + i * img_elems, imgs + indices[i] * img_elems,
+                static_cast<size_t>(img_elems));
+  }
+}
+
+// In-place horizontal flip of selected uint8 images. flags: [n] (0/1).
+// A flip is a pure permutation, so flipping before or after the /255
+// normalization is bit-identical.
+void flip_horizontal_u8(uint8_t* imgs, int64_t n, int h, int w, int c,
+                        const uint8_t* flags) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    if (!flags[i]) continue;
+    uint8_t* img = imgs + i * static_cast<int64_t>(h) * w * c;
+    for (int y = 0; y < h; ++y) {
+      uint8_t* row = img + static_cast<int64_t>(y) * w * c;
+      for (int x = 0; x < w / 2; ++x) {
+        for (int ch = 0; ch < c; ++ch) {
+          std::swap(row[x * c + ch], row[(w - 1 - x) * c + ch]);
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

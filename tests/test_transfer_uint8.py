@@ -1,0 +1,159 @@
+"""uint8 host->device transfer path: bit-exactness with the float path.
+
+The loader can transfer raw uint8 batches (4x fewer bytes over the
+host->device link) and let the jitted step normalize on-device
+(solvers/base.py::_normalize_input). These tests pin the exactness
+contract: for every dataset that offers get_batch_raw, uint8-then-/255
+equals the float pipeline bit-for-bit, and a training step fed either
+way produces the same numbers.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intro_tc_vae_tpu.data.datasets import Synthetic, UkiyoE, _ArrayDataset
+from intro_tc_vae_tpu.data.loader import DeviceLoader
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "test_data")
+
+
+def _u8_dataset(n=32, size=8, c=3, seed=0):
+    rng = np.random.RandomState(seed)
+    imgs = rng.randint(0, 256, size=(n, size, size, c), dtype=np.uint8)
+    return _ArrayDataset(imgs, np.zeros((n, 1)), resize=size)
+
+
+class TestRawAccessor:
+    def test_array_dataset_raw_matches_float(self):
+        ds = _u8_dataset()
+        idx = np.array([3, 0, 17, 31])
+        raw = ds.get_batch_raw(idx)
+        assert raw.dtype == np.uint8
+        np.testing.assert_array_equal(
+            raw.astype(np.float32) / 255.0, ds.get_batch(idx)
+        )
+
+    def test_array_dataset_2d_images_gain_channel_dim(self):
+        rng = np.random.RandomState(1)
+        imgs = rng.randint(0, 256, size=(8, 6, 6), dtype=np.uint8)
+        ds = _ArrayDataset(imgs, np.zeros((8, 1)), resize=6)
+        raw = ds.get_batch_raw(np.arange(4))
+        assert raw.shape == (4, 6, 6, 1)
+
+    def test_no_raw_path_when_resized(self):
+        rng = np.random.RandomState(2)
+        imgs = rng.randint(0, 256, size=(8, 16, 16, 3), dtype=np.uint8)
+        ds = _ArrayDataset(imgs, np.zeros((8, 1)), resize=8)
+        assert ds.get_batch_raw(np.arange(4)) is None
+
+    def test_synthetic_has_no_raw_path(self):
+        ds = Synthetic(image_size=8, sizes=(2, 2, 2, 2))
+        assert ds.get_batch_raw(np.arange(4)) is None
+
+    def test_ukiyoe_cached_raw_matches_float(self):
+        ds = UkiyoE(
+            os.path.join(DATA_DIR, "arc_extracted_face_images"),
+            UkiyoE.load_labels(DATA_DIR),
+            resize=32,
+            cache=True,
+        )
+        idx = np.arange(len(ds))
+        # same flip draws: reseed the rng before each path
+        ds._rng = np.random.RandomState(7)
+        raw = ds.get_batch_raw(idx)
+        ds._rng = np.random.RandomState(7)
+        ref = ds.get_batch(idx)
+        assert raw.dtype == np.uint8
+        np.testing.assert_array_equal(raw.astype(np.float32) / 255.0, ref)
+
+    def test_ukiyoe_uncached_has_no_raw_path(self):
+        ds = UkiyoE(
+            os.path.join(DATA_DIR, "arc_extracted_face_images"),
+            UkiyoE.load_labels(DATA_DIR),
+            resize=32,
+            cache=False,
+        )
+        assert ds.get_batch_raw(np.arange(2)) is None
+
+
+class TestLoader:
+    def test_auto_transfers_uint8_and_matches_float(self):
+        ds = _u8_dataset()
+        kw = dict(batch_size=8, shuffle=True, seed=5)
+        batches_u8 = list(DeviceLoader(ds, transfer_dtype="auto", **kw))
+        batches_f32 = list(DeviceLoader(ds, transfer_dtype="float32", **kw))
+        assert len(batches_u8) == len(batches_f32) == 4
+        for bu, bf in zip(batches_u8, batches_f32):
+            assert bu.dtype == jnp.uint8
+            assert bf.dtype == jnp.float32
+            np.testing.assert_array_equal(
+                np.asarray(bu).astype(np.float32) / 255.0, np.asarray(bf)
+            )
+
+    def test_auto_falls_back_to_float_for_synthetic(self):
+        ds = Synthetic(image_size=8, sizes=(2, 2, 2, 2))
+        batch = next(iter(DeviceLoader(ds, batch_size=4, transfer_dtype="auto")))
+        assert batch.dtype == jnp.float32
+
+    def test_explicit_uint8_raises_without_raw_path(self):
+        ds = Synthetic(image_size=8, sizes=(2, 2, 2, 2))
+        loader = DeviceLoader(ds, batch_size=4, transfer_dtype="uint8")
+        with pytest.raises(ValueError, match="uint8"):
+            list(loader)
+
+    def test_bad_transfer_dtype_rejected(self):
+        with pytest.raises(ValueError):
+            DeviceLoader(_u8_dataset(), batch_size=4, transfer_dtype="f16")
+
+
+class TestDeviceNormalize:
+    def test_on_device_normalize_is_bit_exact(self):
+        """On-device u8->unit-f32 must equal the host pipeline's divide.
+
+        (A plain on-device /255 does NOT: XLA rewrites divide-by-constant
+        into a reciprocal multiply, 1 ULP off for 126 of 256 values —
+        hence the table lookup in solvers/base.py::u8_to_unit_f32.)"""
+        from intro_tc_vae_tpu.solvers.base import u8_to_unit_f32
+
+        x = np.arange(256, dtype=np.uint8)
+        dev = jax.jit(u8_to_unit_f32)(x)
+        np.testing.assert_array_equal(
+            np.asarray(dev), x.astype(np.float32) / 255.0
+        )
+
+    def test_step_metrics_match_float_path(self):
+        """One VAE step fed uint8 == fed pre-normalized float32."""
+        from intro_tc_vae_tpu.models import Decoder, Encoder
+        from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
+
+        ds = _u8_dataset(n=16, size=16)
+        kw = dict(arch="conv", cdim=3, zdim=4, channels=(4, 8), image_size=16)
+
+        def solver():
+            return make_solver(
+                "vae", dataset=ds,
+                encoder=Encoder(**kw), decoder=Decoder(**kw),
+                batch_size=8,
+                optimizer_e=make_optimizer("adam", 1e-4),
+                optimizer_d=make_optimizer("adam", 1e-4),
+            )
+
+        s1, s2 = solver(), solver()
+        key = jax.random.key(0)
+        raw = ds.get_batch_raw(np.arange(8))
+        flt = ds.get_batch(np.arange(8))
+        st1 = s1.init_state(key, jnp.zeros((1, 16, 16, 3)))
+        st2 = s2.init_state(key, jnp.zeros((1, 16, 16, 3)))
+        st1, m1 = s1.train_step(st1, jnp.asarray(raw), 0)
+        st2, m2 = s2.train_step(st2, jnp.asarray(flt), 0)
+        for k in ("loss_enc", "loss_rec", "loss_kl"):
+            np.testing.assert_allclose(
+                np.asarray(m1[k]), np.asarray(m2[k]), rtol=0, atol=0
+            )
+        p1 = jax.device_get(st1.params)
+        p2 = jax.device_get(st2.params)
+        jax.tree_util.tree_map(np.testing.assert_array_equal, p1, p2)
