@@ -110,6 +110,46 @@ class TestLoader:
             DeviceLoader(_u8_dataset(), batch_size=4, transfer_dtype="f16")
 
 
+@pytest.mark.slow
+def test_train_e2e_uint8_transfer_with_tensorboard(tmp_path, monkeypatch):
+    """Full train() on the Ukiyo-E fixture: transfer_dtype='auto' must
+    actually move uint8 over the loader (the cache offers the exact raw
+    path) and the TB image-grid path must normalize uint8 batches."""
+    import intro_tc_vae_tpu.train as T
+    from intro_tc_vae_tpu.config import Config
+
+    seen_dtypes = []
+
+    class SpyLoader(DeviceLoader):
+        def _make_batch(self, idx):
+            out = super()._make_batch(idx)
+            b = out[0] if isinstance(out, tuple) else out
+            seen_dtypes.append(np.dtype(str(b.dtype)))
+            return out
+
+    monkeypatch.setattr(T, "DeviceLoader", SpyLoader)
+    config = Config(
+        solver="vae", dataset="ukiyo_e64", arch="res", optimizer="adagrad",
+        lr=2e-4, batch_size=3, num_epochs=1, seed=99, z_dim=32,
+        use_tensorboard=True, test_iter=1, num_workers=1,
+        data_root=os.path.join(os.path.dirname(__file__), "test_data"),
+        checkpoint_dir=str(tmp_path / "saves"),
+        log_dir=str(tmp_path / "runs" / "tb"),
+        data_parallel=1,
+    )
+    T.train_soft_intro_vae(config)
+    assert seen_dtypes and all(d == np.uint8 for d in seen_dtypes)
+    run_dirs = list((tmp_path / "runs").iterdir())
+    assert run_dirs
+
+    from intro_tc_vae_tpu.utils.tb_reader import TensorboardReader
+
+    reader = TensorboardReader(str(tmp_path / "runs"), run_dirs[0].name)
+    # image grid written from a uint8 batch (real rows pass through
+    # u8_to_unit_f32 before the encoder and the grid concatenate)
+    assert len(reader.reconstructions) > 0
+
+
 class TestDeviceNormalize:
     def test_on_device_normalize_is_bit_exact(self):
         """On-device u8->unit-f32 must equal the host pipeline's divide.
