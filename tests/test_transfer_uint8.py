@@ -110,6 +110,49 @@ class TestLoader:
             DeviceLoader(_u8_dataset(), batch_size=4, transfer_dtype="f16")
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_dp8_sharded_uint8_step_matches_float():
+    """uint8 batches sharded over the data axis: the loader produces a
+    DP8 NamedSharding'd uint8 array and the GSPMD step matches the float
+    path exactly (the normalize table is replicated; the gather
+    partitions trivially along the batch)."""
+    from intro_tc_vae_tpu.models import Decoder, Encoder
+    from intro_tc_vae_tpu.parallel import batch_sharding, make_mesh, shard_state
+    from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
+
+    ds = _u8_dataset(n=16, size=16)
+    mesh = make_mesh(8)
+    kw = dict(arch="conv", cdim=3, zdim=4, channels=(4, 8), image_size=16)
+
+    def build():
+        return make_solver(
+            "vae", dataset=ds,
+            encoder=Encoder(**kw), decoder=Decoder(**kw),
+            batch_size=8,
+            optimizer_e=make_optimizer("adam", 1e-4),
+            optimizer_d=make_optimizer("adam", 1e-4),
+        )
+
+    sharding = batch_sharding(mesh)
+    lu8 = DeviceLoader(ds, batch_size=8, shuffle=False, sharding=sharding,
+                       transfer_dtype="auto")
+    lf32 = DeviceLoader(ds, batch_size=8, shuffle=False, sharding=sharding,
+                        transfer_dtype="float32")
+    bu8, bf32 = next(iter(lu8)), next(iter(lf32))
+    assert bu8.dtype == jnp.uint8 and len(bu8.sharding.device_set) == 8
+
+    s1, s2 = build(), build()
+    st1 = shard_state(s1.init_state(jax.random.key(0), jnp.zeros((1, 16, 16, 3))), mesh)
+    st2 = shard_state(s2.init_state(jax.random.key(0), jnp.zeros((1, 16, 16, 3))), mesh)
+    st1, m1 = s1._step_fn(st1, bu8)
+    st2, m2 = s2._step_fn(st2, bf32)
+    np.testing.assert_array_equal(np.asarray(m1["loss_enc"]), np.asarray(m2["loss_enc"]))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(st1.params), jax.device_get(st2.params),
+    )
+
+
 @pytest.mark.slow
 def test_train_e2e_uint8_transfer_with_tensorboard(tmp_path, monkeypatch):
     """Full train() on the Ukiyo-E fixture: transfer_dtype='auto' must
