@@ -11,7 +11,9 @@ MPI3D / the UkiyoE decode cache — so the A/B isolates the transfer path:
 
     python analysis/bench_system.py              # float32 vs uint8 A/B
     python analysis/bench_system.py float32      # one arm only
-    python analysis/bench_system.py auto
+    python analysis/bench_system.py auto:4       # uint8 + scan_steps=4
+                                                 # (one [4,B,...] transfer
+                                                 # per 4 steps)
 
 Each arm prints train()'s steady-state line
 (`training throughput: N img/s`, median of epochs after the first; epoch
@@ -45,19 +47,22 @@ def main(arms, out_root="/tmp/itcvae-bench-system", epochs=4, batch=64):
 
     T.load_dataset = patched_load
 
-    for dtype in arms:
-        print(f"=== transfer_dtype={dtype} ===", flush=True)
+    for arm in arms:
+        dtype, _, scan = arm.partition(":")
+        scan = int(scan or 1)
+        print(f"=== transfer_dtype={dtype} scan_steps={scan} ===", flush=True)
         config = load_config(update_dict=dict(
             solver="intro_tc", dataset="synthetic", num_epochs=epochs,
             batch_size=batch, z_dim=128, arch="conv", lr=2e-4, beta_kl=0.5,
             beta_rec=0.75, beta_neg=512.0, gamma_r=1e-8, precision="bf16",
-            use_tensorboard=True, transfer_dtype=dtype, seed=99,
-            log_dir=f"{out_root}/{dtype}/tb",
-            checkpoint_dir=f"{out_root}/{dtype}/ckpt",
+            use_tensorboard=True, transfer_dtype=dtype, scan_steps=scan,
+            seed=99,
+            log_dir=f"{out_root}/{arm.replace(':', '_')}/tb",
+            checkpoint_dir=f"{out_root}/{arm.replace(':', '_')}/ckpt",
             test_iter=10**6, save_interval=10**6,
         ))
         T.train_soft_intro_vae(config)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["float32", "auto"])
+    main(sys.argv[1:] or ["float32", "auto", "float32:8", "auto:8"])
