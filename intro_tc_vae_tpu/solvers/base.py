@@ -197,6 +197,19 @@ def u8_to_unit_f32(batch: jax.Array) -> jax.Array:
     return jnp.take(jnp.asarray(_U8_UNIT), batch.astype(jnp.int32))
 
 
+def unit_f32_to_u8(img: jax.Array) -> jax.Array:
+    """[0,1] float image -> uint8 on-device, bit-identical to the host
+    export convention ``(np.clip(x,0,1)*255).astype(np.uint8)``.
+
+    The serving-side mirror of u8_to_unit_f32: quantizing before the
+    device->host fetch quarters D2H bytes on bulk image export. numpy's
+    astype TRUNCATES while XLA's float->int convert rounds to nearest,
+    so the truncation is made explicit with floor (clip/multiply/floor
+    are all exact single IEEE ops on both sides)."""
+    x = jnp.clip(img.astype(jnp.float32), 0.0, 1.0) * 255.0
+    return jnp.floor(x).astype(jnp.uint8)
+
+
 def _normalize_input(step_fn: Callable) -> Callable:
     """Accept uint8 batches: normalize to float32 [0,1] on-device.
 

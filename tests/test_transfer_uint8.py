@@ -208,6 +208,22 @@ class TestDeviceNormalize:
             np.asarray(dev), x.astype(np.float32) / 255.0
         )
 
+    def test_export_quantize_is_bit_exact(self):
+        """Device-side unit_f32_to_u8 == host (clip*255).astype(uint8)
+        (the serving-export mirror: XLA's float->int convert rounds while
+        numpy astype truncates, hence the explicit floor)."""
+        from intro_tc_vae_tpu.solvers.base import unit_f32_to_u8
+
+        rng = np.random.RandomState(3)
+        x = np.concatenate([
+            rng.rand(4096).astype(np.float32),
+            np.float32([-0.5, 0.0, 1.0, 1.5, 0.999999, 1e-7]),
+            (np.arange(256) / 255.0).astype(np.float32),
+        ])
+        host = (np.clip(x, 0, 1) * 255).astype(np.uint8)
+        dev = np.asarray(jax.jit(unit_f32_to_u8)(x))
+        np.testing.assert_array_equal(dev, host)
+
     def test_step_metrics_match_float_path(self):
         """One VAE step fed uint8 == fed pre-normalized float32."""
         from intro_tc_vae_tpu.models import Decoder, Encoder
