@@ -25,14 +25,20 @@ _tried = False
 
 
 def _build() -> bool:
+    # Link to a temp path and rename into place: the rename gives the
+    # library a fresh inode, so a later dlopen cannot be deduplicated
+    # against an already-loaded stale handle (glibc caches by dev/inode),
+    # and other processes never see a half-written .so.
+    tmp = _LIB_PATH + ".tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        _SRC, "-o", _LIB_PATH,
+        _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
         return False
 
 
@@ -55,7 +61,9 @@ def _load():
         if not hasattr(lib, "gather_u8"):  # stale prebuilt .so: rebuild
             if not os.path.exists(_SRC) or not _build():
                 return None
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(_LIB_PATH)  # fresh inode (see _build)
+            if not hasattr(lib, "gather_u8"):
+                return None  # degrade to the numpy fallbacks
 
         u8p = ctypes.POINTER(ctypes.c_uint8)
         f32p = ctypes.POINTER(ctypes.c_float)

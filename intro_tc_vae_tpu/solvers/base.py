@@ -415,6 +415,7 @@ class VAESolver:
         fetched = jax.device_get([m for m, _ in buffered])
         for host_metrics, (_, it) in zip(fetched, buffered):
             self._write_scalar_metrics(host_metrics, it)
+        self.writer.flush()  # once per drain, not once per buffered step
 
     def check_finite(self, metrics):
         """Raise RuntimeError on NaN loss (reference solvers/vae.py:112-113)."""
@@ -447,7 +448,6 @@ class VAESolver:
             self.writer.add_scalar(
                 "total_norm", float(metrics["total_norm"]), global_step=cur_iter
             )
-        self.writer.flush()
 
     def _write_heavy_metrics(self, state, batch, cur_iter: int):
         self._write_images_helper(state, batch, cur_iter)

@@ -210,106 +210,114 @@ def train_soft_intro_vae(config: Config):
     batch = None
     epoch_rates: list = []  # system throughput, img/s, one entry per epoch
 
-    for epoch in range(start_epoch, config.num_epochs):
-        if epoch % config.save_interval == 0 and epoch > 0:
-            save_epoch = (epoch // config.save_interval) * config.save_interval
-            save_checkpoint(state, save_epoch, cur_iter, prefix,
-                            checkpoint_dir=config.checkpoint_dir,
-                            async_save=config.async_checkpoint)
+    try:
+        for epoch in range(start_epoch, config.num_epochs):
+            if epoch % config.save_interval == 0 and epoch > 0:
+                save_epoch = (epoch // config.save_interval) * config.save_interval
+                save_checkpoint(state, save_epoch, cur_iter, prefix,
+                                checkpoint_dir=config.checkpoint_dir,
+                                async_save=config.async_checkpoint)
 
-        pbar = tqdm(iterable=loader)
-        # Device metrics ring: fetched K steps behind in ONE batched
-        # device_get. On the axon tunnel ANY completion wait costs ~20ms
-        # regardless of payload, so a per-step fetch serializes the
-        # pipeline (measured 2,252 -> ~1,360 img/s); an 8-deep ring
-        # amortizes it to ~2.5ms/step. Every step's losses are still
-        # NaN-checked and accumulated — fail-fast latency is <=8 steps
-        # (the reference checks each step, at each-step sync cost).
-        pending: list = []
-        RING = 8
+            pbar = tqdm(iterable=loader)
+            # Device metrics ring: fetched K steps behind in ONE batched
+            # device_get. On the axon tunnel ANY completion wait costs ~20ms
+            # regardless of payload, so a per-step fetch serializes the
+            # pipeline (measured 2,252 -> ~1,360 img/s); an 8-deep ring
+            # amortizes it to ~2.5ms/step. Every step's losses are still
+            # NaN-checked and accumulated — fail-fast latency is <=8 steps
+            # (the reference checks each step, at each-step sync cost).
+            pending: list = []
+            RING = 8
 
-        def drain_pending(keep_tail: int = 0):
-            # keep_tail=2 in the hot loop: only fetch metrics of steps
-            # that already completed (a fetch of the just-dispatched step
-            # would idle the device for the whole drain)
-            nonlocal pending, last_epoch_loss
-            batch_sel, pending = pending[:len(pending) - keep_tail], \
-                pending[len(pending) - keep_tail:]
-            if not batch_sel:
-                return
-            sel = [
-                {k: m[k] for k in
-                 ("loss_enc", "loss_dec", "loss_kl", "loss_rec", "L2")
-                 if k in m}
-                for m in batch_sel
-            ]
-            for fetched in jax.device_get(sel):
-                loss_dict = {k: float(v) for k, v in fetched.items()}
-                solver.check_finite(loss_dict)
-                pbar.set_postfix(loss_dict, refresh=False)
-                if epoch == config.num_epochs - 1:
-                    loss_dict.pop("L2", None)
-                    last_epoch_loss += LossDict(loss_dict)
+            def drain_pending(keep_tail: int = 0):
+                # keep_tail=2 in the hot loop: only fetch metrics of steps
+                # that already completed (a fetch of the just-dispatched step
+                # would idle the device for the whole drain)
+                nonlocal pending, last_epoch_loss
+                batch_sel, pending = pending[:len(pending) - keep_tail], \
+                    pending[len(pending) - keep_tail:]
+                if not batch_sel:
+                    return
+                sel = [
+                    {k: m[k] for k in
+                     ("loss_enc", "loss_dec", "loss_kl", "loss_rec", "L2")
+                     if k in m}
+                    for m in batch_sel
+                ]
+                for fetched in jax.device_get(sel):
+                    loss_dict = {k: float(v) for k, v in fetched.items()}
+                    solver.check_finite(loss_dict)
+                    pbar.set_postfix(loss_dict, refresh=False)
+                    if epoch == config.num_epochs - 1:
+                        loss_dict.pop("L2", None)
+                        last_epoch_loss += LossDict(loss_dict)
 
-        epoch_t0 = time.perf_counter()
-        n_steps = 0
-        with profile_trace(enabled=config.profile):
-            for batch in pbar:
-                timer.start()
-                state, metrics = solver.train_step(state, batch, cur_iter)
-                timer.stop()
+            epoch_t0 = time.perf_counter()
+            n_steps = 0
+            with profile_trace(enabled=config.profile):
+                for batch in pbar:
+                    timer.start()
+                    state, metrics = solver.train_step(state, batch, cur_iter)
+                    timer.stop()
 
-                pending.append(metrics)
-                n_steps += 1
-                if len(pending) >= RING + 2:
-                    drain_pending(keep_tail=2)
+                    pending.append(metrics)
+                    n_steps += 1
+                    if len(pending) >= RING + 2:
+                        drain_pending(keep_tail=2)
 
-                if config.profile and cur_iter >= 50:
-                    break
-                cur_iter += scan_steps
-                SingletonWriter().cur_iter = cur_iter
-        drain_pending()  # fetches the last step too -> completion-bound time
-        pbar.close()
+                    if config.profile and cur_iter >= 50:
+                        break
+                    cur_iter += scan_steps
+                    SingletonWriter().cur_iter = cur_iter
+            drain_pending()  # fetches the last step too -> completion-bound time
+            pbar.close()
 
-        # system throughput: loader + dispatch + device + TB, per epoch
-        # (epoch 0 includes the XLA compile; the final summary skips it)
-        dt = time.perf_counter() - epoch_t0
-        if n_steps and dt > 0:
-            rate = n_steps * scan_steps * config.batch_size / dt
-            epoch_rates.append(rate)
-            if writer:
-                writer.add_scalar("perf/images_per_sec", rate, epoch)
+            # system throughput: loader + dispatch + device + TB, per epoch
+            # (epoch 0 includes the XLA compile; the final summary skips it)
+            dt = time.perf_counter() - epoch_t0
+            if n_steps and dt > 0:
+                rate = n_steps * scan_steps * config.batch_size / dt
+                epoch_rates.append(rate)
+                if writer:
+                    writer.add_scalar("perf/images_per_sec", rate, epoch)
 
-        if config.profile:
-            print("profile:", timer.summary())
-            break
+            if config.profile:
+                print("profile:", timer.summary())
+                break
 
-        if epoch == config.num_epochs - 1 and batch is not None:
-            if scan_steps > 1:
-                batch = batch[-1]  # last step's batch for the sample grid
-            noise = jax.random.normal(
-                jax.random.fold_in(root_key, cur_iter),
-                (batch.shape[0], config.z_dim),
-            )
-            from intro_tc_vae_tpu.solvers.base import decode
+            if epoch == config.num_epochs - 1 and batch is not None:
+                if scan_steps > 1:
+                    batch = batch[-1]  # last step's batch for the sample grid
+                noise = jax.random.normal(
+                    jax.random.fold_in(root_key, cur_iter),
+                    (batch.shape[0], config.z_dim),
+                )
+                from intro_tc_vae_tpu.solvers.base import decode
 
-            fake, _ = decode(decoder, state.params["decoder"],
-                             state.batch_stats["decoder"], noise, train=False)
-            solver.write_images(state, batch, fake, cur_iter)
-            save_checkpoint(state, epoch, cur_iter, prefix,
-                            checkpoint_dir=config.checkpoint_dir,
-                            async_save=config.async_checkpoint)
+                fake, _ = decode(decoder, state.params["decoder"],
+                                 state.batch_stats["decoder"], noise, train=False)
+                solver.write_images(state, batch, fake, cur_iter)
+                save_checkpoint(state, epoch, cur_iter, prefix,
+                                checkpoint_dir=config.checkpoint_dir,
+                                async_save=config.async_checkpoint)
+
+    finally:
+        # An abort (NaN fail-fast, loader error, Ctrl-C) must not lose
+        # the last ring of buffered TensorBoard scalars — they are the
+        # steps that show the blow-up — nor leave an async checkpoint
+        # uncommitted. Both are idempotent on the clean path.
+        try:
+            solver.flush_writes()
+        except Exception as flush_err:  # never mask the original error
+            print(f"flush_writes failed during teardown: {flush_err!r}")
+        from intro_tc_vae_tpu.utils.checkpoint import finalize_checkpoints
+
+        finalize_checkpoints()
 
     if len(epoch_rates) > 1:  # skip epoch 0 (XLA compile dominates it)
         steady = float(np.median(epoch_rates[1:]))
         print(f"training throughput: {steady:,.0f} img/s "
               f"(median of epochs after the first; {len(epoch_rates)} epochs)")
-
-    solver.flush_writes()  # drain the one-step-behind scalar buffer
-
-    from intro_tc_vae_tpu.utils.checkpoint import finalize_checkpoints
-
-    finalize_checkpoints()  # commit any in-flight async save before exit
 
     # ----- hparams table (reference train.py:244-264) -----
     if writer:

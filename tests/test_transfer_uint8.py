@@ -193,6 +193,46 @@ def test_train_e2e_uint8_transfer_with_tensorboard(tmp_path, monkeypatch):
     assert len(reader.reconstructions) > 0
 
 
+@pytest.mark.slow
+def test_abort_flushes_buffered_scalars(tmp_path, monkeypatch):
+    """A mid-training abort (the NaN fail-fast path) must not lose the
+    ring of buffered TensorBoard scalars — they are the steps that show
+    the blow-up (train.py epoch-loop try/finally)."""
+    from intro_tc_vae_tpu.config import Config
+    from intro_tc_vae_tpu.solvers.base import VAESolver
+    from intro_tc_vae_tpu.train import train_soft_intro_vae
+
+    calls = []
+    orig = VAESolver.check_finite
+
+    def exploding(self, metrics):
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("non-finite loss_enc: simulated")
+        return orig(self, metrics)
+
+    monkeypatch.setattr(VAESolver, "check_finite", exploding)
+    config = Config(
+        solver="vae", dataset="synthetic_small", batch_size=16, num_epochs=3,
+        seed=5, z_dim=8, use_tensorboard=True, test_iter=10**6,
+        save_interval=1000, num_workers=1,
+        checkpoint_dir=str(tmp_path / "saves"),
+        log_dir=str(tmp_path / "runs" / "tb"), data_parallel=1,
+    )
+    with pytest.raises(RuntimeError, match="non-finite"):
+        train_soft_intro_vae(config)
+
+    import time
+
+    from intro_tc_vae_tpu.utils.tb_reader import TensorboardReader
+
+    time.sleep(0.5)  # tensorboardX sub-writers flush asynchronously
+    run = list((tmp_path / "runs").iterdir())[0]
+    reader = TensorboardReader(str(tmp_path / "runs"), run.name)
+    # steps ran before the abort; the ring must have been drained
+    assert len(reader.r_loss_scaled) > 0
+
+
 class TestDeviceNormalize:
     def test_on_device_normalize_is_bit_exact(self):
         """On-device u8->unit-f32 must equal the host pipeline's divide.
