@@ -327,14 +327,18 @@ class VAESolver:
             pass  # plain (non-factor) dataset: no disentanglement metrics
 
         self.scan_steps = int(scan_steps)
-        # scalar write ring: device metric dicts buffered K steps deep and
-        # fetched/written in one batch — on the axon tunnel a completion
-        # wait costs ~20ms regardless of payload, so per-step fetches
-        # serialize the pipeline (2,252 -> 1,364 img/s measured) while a
-        # K=8 ring amortizes it to ~2.5ms/step. Every step's values still
-        # land at their own global_step.
-        self._scalar_buffer: list = []
-        self._scalar_buffer_depth = 8
+        # metric ring: device metric dicts buffered K steps deep and
+        # fetched in ONE batched device_get — on the axon tunnel a
+        # completion wait costs ~20ms regardless of payload, so per-step
+        # fetches serialize the pipeline (2,252 -> 1,364 img/s measured)
+        # while a K=8 ring drained >=2 steps behind the dispatch frontier
+        # touches only completed buffers (~0.1ms). The ONE ring serves
+        # both consumers: TensorBoard scalar writes (every step's values
+        # still land at their own global_step) and the train loop's
+        # NaN-check/postfix (drain_metrics returns the host dicts). The
+        # loop drives the drain cadence; train_step only appends.
+        self._metric_ring: list = []
+        self.ring_depth = 8
         step = _normalize_input(self.build_step())
         if self.scan_steps > 1:
             step = _scan_steps(step, self.scan_steps)
@@ -382,40 +386,44 @@ class VAESolver:
         """
         new_state, metrics = self._step_fn(state, batch)
 
+        # Metrics are consumed BEHIND the device: fetching step N's
+        # values immediately would block on the step just dispatched
+        # (the reference pays .item() every step). The ring buffers the
+        # device dicts (fresh outputs, never donated); the train loop
+        # drains them in batches via drain_metrics. Image grids +
+        # disentanglement metrics are test_iter-gated (rare) and run
+        # synchronously on the current state.
+        self._metric_ring.append((metrics, cur_iter))
         if self.writer is not None:
-            # Scalars are written BEHIND the device: fetching step N's
-            # metrics immediately would block on the step just dispatched
-            # (the reference pays .item() every step). The ring buffers
-            # device dicts (fresh outputs, never donated) and drains K at
-            # a time with ONE batched fetch — on the axon tunnel any
-            # completion wait costs ~20ms regardless of payload, so the
-            # ring amortizes it to ~2.5ms/step. Image grids +
-            # disentanglement metrics are test_iter-gated (rare) and run
-            # synchronously on the current state.
-            self._scalar_buffer.append((metrics, cur_iter))
-            # drain only entries >=2 steps old: those steps have already
-            # completed, so the batched fetch costs ~0.1ms instead of
-            # blocking on the step just dispatched (which would idle the
-            # device for the drain duration every K steps)
-            if len(self._scalar_buffer) >= self._scalar_buffer_depth + 2:
-                tail = self._scalar_buffer[-2:]
-                self._scalar_buffer = self._scalar_buffer[:-2]
-                self.flush_writes()
-                self._scalar_buffer = tail
             vis_batch = batch[-1] if self.scan_steps > 1 else batch
             self._write_heavy_metrics(new_state, vis_batch, cur_iter)
         return new_state, metrics
 
+    def drain_metrics(self, keep_tail: int = 0):
+        """Fetch all ring entries except the newest ``keep_tail`` in ONE
+        batched device_get, TB-write them (writer on), and return the
+        host-side ``[(metrics dict, iter), ...]``.
+
+        keep_tail=2 on the hot path: entries >=2 steps old have already
+        completed, so the batched fetch costs ~0.1ms instead of blocking
+        on the step just dispatched (which would idle the device for the
+        whole drain)."""
+        n = len(self._metric_ring) - keep_tail
+        if n <= 0:
+            return []
+        drained = self._metric_ring[:n]
+        self._metric_ring = self._metric_ring[n:]
+        fetched = jax.device_get([m for m, _ in drained])
+        out = [(host, it) for host, (_, it) in zip(fetched, drained)]
+        if self.writer is not None:
+            for host_metrics, it in out:
+                self._write_scalar_metrics(host_metrics, it)
+            self.writer.flush()  # once per drain, not once per step
+        return out
+
     def flush_writes(self):
-        """Drain the scalar write ring (one batched device fetch)."""
-        if self.writer is None or not self._scalar_buffer:
-            return
-        buffered = self._scalar_buffer
-        self._scalar_buffer = []
-        fetched = jax.device_get([m for m, _ in buffered])
-        for host_metrics, (_, it) in zip(fetched, buffered):
-            self._write_scalar_metrics(host_metrics, it)
-        self.writer.flush()  # once per drain, not once per buffered step
+        """Drain the metric ring completely (one batched device fetch)."""
+        self.drain_metrics(0)
 
     def check_finite(self, metrics):
         """Raise RuntimeError on NaN loss (reference solvers/vae.py:112-113)."""

@@ -219,33 +219,22 @@ def train_soft_intro_vae(config: Config):
                                 async_save=config.async_checkpoint)
 
             pbar = tqdm(iterable=loader)
-            # Device metrics ring: fetched K steps behind in ONE batched
-            # device_get. On the axon tunnel ANY completion wait costs ~20ms
-            # regardless of payload, so a per-step fetch serializes the
-            # pipeline (measured 2,252 -> ~1,360 img/s); an 8-deep ring
-            # amortizes it to ~2.5ms/step. Every step's losses are still
-            # NaN-checked and accumulated — fail-fast latency is <=8 steps
-            # (the reference checks each step, at each-step sync cost).
-            pending: list = []
-            RING = 8
 
-            def drain_pending(keep_tail: int = 0):
-                # keep_tail=2 in the hot loop: only fetch metrics of steps
-                # that already completed (a fetch of the just-dispatched step
-                # would idle the device for the whole drain)
-                nonlocal pending, last_epoch_loss
-                batch_sel, pending = pending[:len(pending) - keep_tail], \
-                    pending[len(pending) - keep_tail:]
-                if not batch_sel:
-                    return
-                sel = [
-                    {k: m[k] for k in
-                     ("loss_enc", "loss_dec", "loss_kl", "loss_rec", "L2")
-                     if k in m}
-                    for m in batch_sel
-                ]
-                for fetched in jax.device_get(sel):
-                    loss_dict = {k: float(v) for k, v in fetched.items()}
+            # Solver metric ring, drained K steps behind the dispatch
+            # frontier in ONE batched device_get (the fetch then touches
+            # only completed buffers, ~0.1ms instead of a ~20ms tunnel
+            # completion wait). ONE drain serves both TB scalar writes
+            # (inside drain_metrics) and the loop's NaN-check/postfix.
+            # Fail-fast latency is <=ring_depth steps (the reference
+            # checks each step, at each-step sync cost).
+            def consume(keep_tail: int = 0):
+                nonlocal last_epoch_loss
+                for host_metrics, _ in solver.drain_metrics(keep_tail):
+                    loss_dict = {
+                        k: float(host_metrics[k]) for k in
+                        ("loss_enc", "loss_dec", "loss_kl", "loss_rec", "L2")
+                        if k in host_metrics
+                    }
                     solver.check_finite(loss_dict)
                     pbar.set_postfix(loss_dict, refresh=False)
                     if epoch == config.num_epochs - 1:
@@ -260,16 +249,15 @@ def train_soft_intro_vae(config: Config):
                     state, metrics = solver.train_step(state, batch, cur_iter)
                     timer.stop()
 
-                    pending.append(metrics)
                     n_steps += 1
-                    if len(pending) >= RING + 2:
-                        drain_pending(keep_tail=2)
+                    if len(solver._metric_ring) >= solver.ring_depth + 2:
+                        consume(keep_tail=2)
 
                     if config.profile and cur_iter >= 50:
                         break
                     cur_iter += scan_steps
                     SingletonWriter().cur_iter = cur_iter
-            drain_pending()  # fetches the last step too -> completion-bound time
+            consume()  # fetches the last step too -> completion-bound time
             pbar.close()
 
             # system throughput: loader + dispatch + device + TB, per epoch
