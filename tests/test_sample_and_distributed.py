@@ -48,6 +48,36 @@ def test_sample_cli_end_to_end(tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+@pytest.mark.slow
+def test_eval_cli_end_to_end(tmp_path):
+    """Train 1 epoch, checkpoint, then score it with the eval CLI: all
+    four disentanglement families + encoder-FID on the tiny synthetic."""
+    from intro_tc_vae_tpu.config import Config
+    from intro_tc_vae_tpu.evaluate import main as eval_main
+    from intro_tc_vae_tpu.train import train_soft_intro_vae
+
+    ckpt_dir = tmp_path / "saves"
+    config = Config(
+        solver="vae", dataset="synthetic_small", batch_size=16, num_epochs=1,
+        seed=3, z_dim=8, save_interval=1000, checkpoint_dir=str(ckpt_dir),
+        data_parallel=1,
+    )
+    train_soft_intro_vae(config)
+    ckpt = os.path.join(ckpt_dir, os.listdir(ckpt_dir)[0])
+    out = tmp_path / "scores.json"
+    results = eval_main([
+        "--checkpoint", ckpt, "--dataset", "synthetic_small", "--arch", "res",
+        "--z-dim", "8", "--batch", "16", "--num-samples", "32",
+        "--fid", "--fid-samples", "32", "--out", str(out),
+    ])
+    assert out.exists()
+    # every family reported a number (or a recorded degenerate-draw error)
+    assert any(k.startswith("mig") for k in results)
+    assert any(k.startswith("dci") for k in results)
+    assert isinstance(results["fid_encoder_features"], float)
+    assert np.isfinite(results["fid_encoder_features"])
+
+
 class TestDistributed:
     def test_single_process_noop(self):
         from intro_tc_vae_tpu.parallel import initialize_distributed
