@@ -14,6 +14,9 @@ MPI3D / the UkiyoE decode cache — so the A/B isolates the transfer path:
     python analysis/bench_system.py auto:4       # uint8 + scan_steps=4
                                                  # (one [4,B,...] transfer
                                                  # per 4 steps)
+    python analysis/bench_system.py cache        # device-resident dataset
+                                                 # (only ~300 B of indices
+                                                 # cross the link per step)
 
 Each arm prints train()'s steady-state line
 (`training throughput: N img/s`, median of epochs after the first; epoch
@@ -48,15 +51,19 @@ def main(arms, out_root="/tmp/itcvae-bench-system", epochs=4, batch=64):
     T.load_dataset = patched_load
 
     for arm in arms:
-        dtype, _, scan = arm.partition(":")
+        kind, _, scan = arm.partition(":")
         scan = int(scan or 1)
-        print(f"=== transfer_dtype={dtype} scan_steps={scan} ===", flush=True)
+        # 'cache[:K]' = device-resident dataset; other arms pin the cache
+        # OFF so the A/B isolates the transfer path it names.
+        cache = "force" if kind == "cache" else "off"
+        dtype = "auto" if kind == "cache" else kind
+        print(f"=== arm={kind} scan_steps={scan} ===", flush=True)
         config = load_config(update_dict=dict(
             solver="intro_tc", dataset="synthetic", num_epochs=epochs,
             batch_size=batch, z_dim=128, arch="conv", lr=2e-4, beta_kl=0.5,
             beta_rec=0.75, beta_neg=512.0, gamma_r=1e-8, precision="bf16",
             use_tensorboard=True, transfer_dtype=dtype, scan_steps=scan,
-            seed=99,
+            device_cache=cache, seed=99,
             log_dir=f"{out_root}/{arm.replace(':', '_')}/tb",
             checkpoint_dir=f"{out_root}/{arm.replace(':', '_')}/ckpt",
             test_iter=10**6, save_interval=10**6,

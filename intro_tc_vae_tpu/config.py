@@ -75,6 +75,18 @@ class Config:
                                 # whenever the dataset stores uint8 at
                                 # the target size, else float32;
                                 # 'float32'/'uint8' force a path
+    device_cache: str = "auto"  # keep the WHOLE uint8 dataset in device
+                                # HBM (replicated over the mesh) and gather
+                                # batches on-device — per step only ~300
+                                # bytes of indices/flip-flags cross the
+                                # host->device link. 'auto' engages when
+                                # the dataset has bit-exact uint8 storage
+                                # that fits device_cache_budget_mb and the
+                                # run is single-process; 'force' errors if
+                                # it can't; 'off' always streams batches
+    device_cache_budget_mb: int = 4096  # per-device HBM budget for the
+                                # cache (dSprites=3GB fits; full MPI3D
+                                # at 12GB does not on a 16GB v5e)
     data_root: Optional[str] = None
     checkpoint_dir: str = "./saves"
     async_checkpoint: bool = False  # background (Orbax async) saves: the

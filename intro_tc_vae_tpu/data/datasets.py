@@ -58,6 +58,24 @@ class DisentanglementDataset:
         on-device (data/loader.py ``transfer_dtype``)."""
         return None
 
+    def raw_array(self):
+        """Full uint8 [N, H, W, C] storage when a bit-exact uint8 path
+        exists at the target size; None otherwise.
+
+        This is the device-resident-cache surface (data/loader.py
+        ``device_cache``): the loader puts the WHOLE array in HBM once and
+        gathers batches on-device, so nothing but indices ever crosses the
+        host->device link again. Augmentation (random flip) is NOT applied
+        here — the loader applies ``flip_flags`` on-device."""
+        return None
+
+    def flip_flags(self, n: int):
+        """Per-sample horizontal-flip decisions for the next n rows
+        (uint8 0/1 array), or None when this dataset does not augment.
+        Drawn from the dataset's own RNG so cached/uncached paths share
+        augmentation semantics."""
+        return None
+
 
 def factor_bases(sizes: Sequence[int]) -> np.ndarray:
     """Mixed-radix place values: bases[k] = prod(sizes)/cumprod(sizes)[k]."""
@@ -136,6 +154,11 @@ class _ArrayDataset(DisentanglementDataset):
 
         arr = gather_u8(self.imgs, np.asarray(indices))
         return arr[..., None] if arr.ndim == 3 else arr
+
+    def raw_array(self):
+        if self.imgs.dtype != np.uint8 or self.resize != self.imgs.shape[1]:
+            return None
+        return self.imgs if self.imgs.ndim == 4 else self.imgs[..., None]
 
 
 class DSprites(_ArrayDataset):
@@ -344,8 +367,8 @@ class UkiyoE:
             from intro_tc_vae_tpu.runtime import flip_horizontal, gather_normalize
 
             arr = gather_normalize(self._ensure_cache(), indices)
-            if self.random_flip:
-                flags = (self._rng.rand(len(indices)) < 0.5).astype(np.uint8)
+            flags = self.flip_flags(len(indices))
+            if flags is not None:
                 arr = flip_horizontal(arr, flags)
             return arr
         # uncached: parallel per-image decode (reference train.py:146-151
@@ -354,10 +377,7 @@ class UkiyoE:
         # thread-safe, so workers must never touch self._rng.
         from concurrent.futures import ThreadPoolExecutor
 
-        flags = (
-            (self._rng.rand(len(indices)) < 0.5).astype(np.uint8)
-            if self.random_flip else None
-        )
+        flags = self.flip_flags(len(indices))
 
         def _decode(i):
             return load_image(
@@ -387,10 +407,21 @@ class UkiyoE:
 
         indices = np.asarray(indices)
         arr = gather_u8(self._ensure_cache(), indices)
-        if self.random_flip:
-            flags = (self._rng.rand(len(indices)) < 0.5).astype(np.uint8)
+        flags = self.flip_flags(len(indices))
+        if flags is not None:
             arr = flip_horizontal(arr, flags)
         return arr
+
+    def raw_array(self):
+        """The decoded-uint8 cache IS the bit-exact storage; flips are
+        applied by the consumer via flip_flags (a uint8 width reversal is
+        a pure permutation, identical on host and device)."""
+        return self._ensure_cache() if self.cache else None
+
+    def flip_flags(self, n: int):
+        if not self.random_flip:
+            return None
+        return (self._rng.rand(n) < 0.5).astype(np.uint8)
 
     def get_label(self, index: int) -> str:
         code = self.labels.cat.codes.iloc[index]

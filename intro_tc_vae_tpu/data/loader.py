@@ -49,6 +49,8 @@ class DeviceLoader:
         include_labels: bool = False,
         stack_steps: int = 1,
         transfer_dtype: str = "float32",
+        device_cache: str = "off",
+        device_cache_budget_mb: int = 4096,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -70,6 +72,22 @@ class DeviceLoader:
             raise ValueError(f"transfer_dtype: {transfer_dtype!r}")
         self.transfer_dtype = transfer_dtype
         self._want_raw = transfer_dtype in ("uint8", "auto")
+        # Device-resident dataset cache: put the WHOLE uint8 array in HBM
+        # once (replicated over the mesh) and gather batches on-device in a
+        # tiny jitted fn — per step only the index vector (and flip flags)
+        # crosses the host->device link, ~300 bytes instead of MBs. 'auto'
+        # engages when the dataset exposes bit-exact uint8 storage
+        # (raw_array) that fits the budget; 'force' raises if it can't.
+        if device_cache is True:
+            device_cache = "force"
+        elif device_cache is False:
+            device_cache = "off"
+        if device_cache not in ("off", "auto", "force"):
+            raise ValueError(f"device_cache: {device_cache!r}")
+        self.device_cache = device_cache
+        self.device_cache_budget_mb = device_cache_budget_mb
+        self._cache = None          # device-resident uint8 [N, H, W, C]
+        self._cache_ready = False
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
 
@@ -141,20 +159,109 @@ class DeviceLoader:
                 imgs = imgs.reshape(self.stack_steps, self.batch_size, *imgs.shape[1:])
             batch = jax.device_put(imgs, self.sharding)
         if self.include_labels:
-            ds = self.dataset
-            if hasattr(ds, "latents_values"):
-                labels = np.stack([ds.latents_values[i] for i in idx], axis=0)
-            elif hasattr(ds, "entries"):
-                # label-only accessor: never decode images just for labels
-                # (UkiyoE entries are (filename, label_code) tuples)
-                labels = np.asarray([ds.entries[int(i)][1] for i in idx])
-            else:
-                labels = np.stack([ds[i][1] for i in idx], axis=0)
-            return batch, labels
+            return batch, self._labels_for(idx)
+        return batch
+
+    def _labels_for(self, idx: np.ndarray) -> np.ndarray:
+        ds = self.dataset
+        if hasattr(ds, "latents_values"):
+            return np.stack([ds.latents_values[i] for i in idx], axis=0)
+        if hasattr(ds, "entries"):
+            # label-only accessor: never decode images just for labels
+            # (UkiyoE entries are (filename, label_code) tuples)
+            return np.asarray([ds.entries[int(i)][1] for i in idx])
+        return np.stack([ds[i][1] for i in idx], axis=0)
+
+    # ----- device-resident cache path -----
+
+    def _setup_cache(self) -> bool:
+        """Try to place the full dataset in device memory. Returns True when
+        the cache path is active; 'force' raises on any ineligibility."""
+        if self._cache_ready:
+            return self._cache is not None
+        self._cache_ready = True
+        if self.device_cache == "off":
+            return False
+
+        def fail(why: str) -> bool:
+            if self.device_cache == "force":
+                raise ValueError(f"device_cache='force' but {why}")
+            return False
+
+        if jax.process_count() > 1:
+            # Multi-host would need a process-replicated global array and a
+            # globally-consistent index stream; the transfer path already
+            # gathers only local rows there. Keep cache single-process.
+            return fail("multi-host run (use the uint8 transfer path)")
+        raw = getattr(self.dataset, "raw_array", lambda: None)()
+        if raw is None:
+            return fail("dataset has no bit-exact uint8 storage (raw_array)")
+        budget = self.device_cache_budget_mb * (1 << 20)
+        if raw.nbytes > budget:
+            return fail(
+                f"dataset is {raw.nbytes / 1e6:.0f} MB > "
+                f"device_cache_budget_mb={self.device_cache_budget_mb}"
+            )
+        if self.device_cache == "auto":
+            # Leave headroom for params/activations: in auto mode only cache
+            # when the array fits in half the device's currently-free HBM
+            # (memory_stats is absent on some backends — budget-only there).
+            dev = jax.devices()[0]
+            stats = getattr(dev, "memory_stats", lambda: None)() or {}
+            free = stats.get("bytes_limit", 0) - stats.get("bytes_in_use", 0)
+            if free > 0 and raw.nbytes > free // 2:
+                return fail("dataset exceeds half the free device memory")
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = getattr(self.sharding, "mesh", None)
+        replicated = NamedSharding(mesh, PartitionSpec()) if mesh is not None else None
+        self._cache = jax.device_put(raw, replicated)
+        print(f"device cache: {raw.nbytes / 1e6:.0f} MB dataset resident "
+              f"in device memory ({len(self.dataset):,} rows)")
+
+        K, B = self.stack_steps, self.batch_size
+        out_sharding = self.sharding
+
+        def gather(cache, idx, flags):
+            import jax.numpy as jnp
+
+            x = jnp.take(cache, idx, axis=0)  # [K*B, H, W, C] uint8
+            if flags is not None:  # trace-time branch: one variant per form
+                x = jnp.where(flags[:, None, None, None] != 0,
+                              x[:, :, ::-1, :], x)
+            if K > 1:
+                x = x.reshape(K, B, *x.shape[1:])
+            # GSPMD partitions the gather so each device reads only its
+            # batch rows from its own replica — no cross-device traffic.
+            return x
+
+        self._gather_jit = (
+            jax.jit(gather, out_shardings=out_sharding)
+            if out_sharding is not None else jax.jit(gather)
+        )
+        return True
+
+    def _make_cached_batch(self, idx: np.ndarray):
+        flags = getattr(self.dataset, "flip_flags", lambda n: None)(len(idx))
+        batch = self._gather_jit(
+            self._cache,
+            np.asarray(idx, np.int32),
+            None if flags is None else np.asarray(flags, np.uint8),
+        )
+        if self.include_labels:
+            return batch, self._labels_for(idx)
         return batch
 
     def __iter__(self) -> Iterator:
         self._epoch += 1
+        if self._setup_cache():
+            # No prefetch thread: the jitted gather dispatch is async and
+            # costs ~300 host-side bytes per step — there is nothing left
+            # to overlap.
+            for idx in self._index_batches():
+                yield self._make_cached_batch(idx)
+            return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err_holder = []

@@ -143,6 +143,8 @@ def train_soft_intro_vae(config: Config):
         pre_process=check_range,
         stack_steps=scan_steps,
         transfer_dtype=config.transfer_dtype,
+        device_cache=config.device_cache,
+        device_cache_budget_mb=config.device_cache_budget_mb,
     )
 
     # ----- solver (reference train.py:163-192) -----
