@@ -11,10 +11,47 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterator, Optional
+from typing import Any, Callable, Iterator, NamedTuple, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+class CachedBatch(NamedTuple):
+    """A batch by reference into the device-resident dataset cache.
+
+    The loader yields these instead of materialized arrays when
+    ``device_cache`` is active and ``yield_refs`` is set; the solver folds
+    the gather into the train step's XLA program
+    (solvers/base.py::_materialize_cached), so one step costs ONE dispatch
+    and the only per-step host->device bytes are ``idx``/``flags``
+    (~300 B). NamedTuple = pytree: it passes straight through ``jax.jit``
+    boundaries.
+    """
+
+    cache: Any        # [N, H, W, C] uint8, device-resident (replicated)
+    idx: Any          # [B] or [K*B] int32 row indices
+    flags: Any        # same-length uint8 horizontal-flip flags, or None
+
+
+def gather_cached(batch: CachedBatch, scan_steps: int = 1,
+                  sharding=None):
+    """Materialize a CachedBatch: on-device row gather + conditional
+    horizontal flip (a uint8 width reversal — the same permutation the
+    host path applies), reshaped to [K, B, ...] when scan-stacked.
+
+    Works eagerly or inside jit; the solver calls it at trace time so
+    XLA fuses the gather into the step program."""
+    x = jnp.take(batch.cache, batch.idx, axis=0)
+    if batch.flags is not None:  # trace-time branch: one variant per form
+        x = jnp.where(batch.flags[:, None, None, None] != 0,
+                      x[:, :, ::-1, :], x)
+    if scan_steps > 1:
+        x = x.reshape(scan_steps, -1, *x.shape[1:])
+    if sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, sharding)
+    return x
 
 
 class DeviceLoader:
@@ -51,6 +88,7 @@ class DeviceLoader:
         transfer_dtype: str = "float32",
         device_cache: str = "off",
         device_cache_budget_mb: int = 4096,
+        yield_refs: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -86,6 +124,12 @@ class DeviceLoader:
             raise ValueError(f"device_cache: {device_cache!r}")
         self.device_cache = device_cache
         self.device_cache_budget_mb = device_cache_budget_mb
+        # yield_refs: when the cache is active, yield CachedBatch references
+        # instead of dispatching a separate jitted gather per batch. A
+        # CachedBatch-aware consumer (the solvers) folds the gather into the
+        # train step's own XLA program: one dispatch per step total. Opt-in
+        # because plain consumers expect materialized arrays.
+        self.yield_refs = yield_refs
         self._cache = None          # device-resident uint8 [N, H, W, C]
         self._cache_ready = False
         self._rng = np.random.RandomState(seed)
@@ -224,8 +268,6 @@ class DeviceLoader:
         out_sharding = self.sharding
 
         def gather(cache, idx, flags):
-            import jax.numpy as jnp
-
             x = jnp.take(cache, idx, axis=0)  # [K*B, H, W, C] uint8
             if flags is not None:  # trace-time branch: one variant per form
                 x = jnp.where(flags[:, None, None, None] != 0,
@@ -244,11 +286,16 @@ class DeviceLoader:
 
     def _make_cached_batch(self, idx: np.ndarray):
         flags = getattr(self.dataset, "flip_flags", lambda n: None)(len(idx))
-        batch = self._gather_jit(
-            self._cache,
-            np.asarray(idx, np.int32),
-            None if flags is None else np.asarray(flags, np.uint8),
-        )
+        flags = None if flags is None else np.asarray(flags, np.uint8)
+        if self.yield_refs:
+            # by-reference: the CachedBatch pytree rides into the solver's
+            # jitted step, which gathers at trace time (gather_cached) —
+            # no separate gather dispatch exists at all.
+            batch = CachedBatch(self._cache, np.asarray(idx, np.int32), flags)
+        else:
+            batch = self._gather_jit(
+                self._cache, np.asarray(idx, np.int32), flags
+            )
         if self.include_labels:
             return batch, self._labels_for(idx)
         return batch

@@ -227,6 +227,27 @@ def _normalize_input(step_fn: Callable) -> Callable:
     return wrapped
 
 
+def _materialize_cached(step_fn: Callable, scan_steps: int,
+                        sharding) -> Callable:
+    """Accept CachedBatch references (data/loader.py): fold the
+    device-cache row gather + conditional flip into the step's own XLA
+    program. A cached-data train step is then ONE dispatch whose only
+    host->device payload is the ~300-byte index/flag vectors — there is
+    no separate gather dispatch to pay tunnel/launch latency for.
+
+    The isinstance branch resolves at trace time (pytree structure is
+    static under jit); plain array batches compile to the identical
+    program as before."""
+    from intro_tc_vae_tpu.data.loader import CachedBatch, gather_cached
+
+    def wrapped(state, batch):
+        if isinstance(batch, CachedBatch):
+            batch = gather_cached(batch, scan_steps, sharding)
+        return step_fn(state, batch)
+
+    return wrapped
+
+
 def _scan_steps(step_fn: Callable, k: int) -> Callable:
     """Fuse k train steps into one XLA program via lax.scan.
 
@@ -342,6 +363,7 @@ class VAESolver:
         step = _normalize_input(self.build_step())
         if self.scan_steps > 1:
             step = _scan_steps(step, self.scan_steps)
+        step = _materialize_cached(step, self.scan_steps, self.batch_sharding)
         self._step_fn = jax.jit(step, donate_argnums=(0,))
         self._eval_encode = None
 
@@ -394,8 +416,19 @@ class VAESolver:
         # disentanglement metrics are test_iter-gated (rare) and run
         # synchronously on the current state.
         self._metric_ring.append((metrics, cur_iter))
-        if self.writer is not None:
-            vis_batch = batch[-1] if self.scan_steps > 1 else batch
+        # Image grids + disentanglement metrics are test_iter-gated; the
+        # gate is hoisted here so a CachedBatch is only materialized (one
+        # extra gather dispatch) on the rare steps that actually render.
+        if self.writer is not None and cur_iter % self.test_iter == 0:
+            from intro_tc_vae_tpu.data.loader import CachedBatch, gather_cached
+
+            vis_batch = batch
+            if isinstance(vis_batch, CachedBatch):
+                vis_batch = gather_cached(
+                    vis_batch, self.scan_steps, self.batch_sharding
+                )
+            if self.scan_steps > 1:
+                vis_batch = vis_batch[-1]
             self._write_heavy_metrics(new_state, vis_batch, cur_iter)
         return new_state, metrics
 

@@ -145,6 +145,9 @@ def train_soft_intro_vae(config: Config):
         transfer_dtype=config.transfer_dtype,
         device_cache=config.device_cache,
         device_cache_budget_mb=config.device_cache_budget_mb,
+        # solvers fold the cache gather into the jitted step (one dispatch
+        # per step); the loader yields CachedBatch references when cached
+        yield_refs=True,
     )
 
     # ----- solver (reference train.py:163-192) -----
@@ -276,6 +279,10 @@ def train_soft_intro_vae(config: Config):
                 break
 
             if epoch == config.num_epochs - 1 and batch is not None:
+                from intro_tc_vae_tpu.data.loader import CachedBatch, gather_cached
+
+                if isinstance(batch, CachedBatch):  # device-cache reference
+                    batch = gather_cached(batch, scan_steps, b_sharding)
                 if scan_steps > 1:
                     batch = batch[-1]  # last step's batch for the sample grid
                 noise = jax.random.normal(

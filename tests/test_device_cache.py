@@ -87,6 +87,79 @@ class TestCachedBatches:
             np.testing.assert_array_equal(np.asarray(bc), np.asarray(bs))
 
 
+class TestFoldedGather:
+    """yield_refs=True: the loader yields CachedBatch references and the
+    solver folds the gather into the jitted step (ONE dispatch/step)."""
+
+    def test_refs_materialize_to_streamed_batches(self):
+        from intro_tc_vae_tpu.data.loader import CachedBatch, gather_cached
+
+        ds = _FlippingDataset(
+            np.random.RandomState(3).randint(0, 256, (32, 8, 8, 3), np.uint8),
+            np.zeros((32, 1)), resize=8,
+        )
+        kw = dict(batch_size=8, shuffle=True, seed=7)
+        refs = list(DeviceLoader(ds, device_cache="force", yield_refs=True,
+                                 **kw))
+        ds2 = _FlippingDataset(ds.imgs, np.zeros((32, 1)), resize=8)
+        streamed = list(DeviceLoader(ds2, device_cache="force", **kw))
+        assert len(refs) == len(streamed) == 4
+        for ref, want in zip(refs, streamed):
+            assert isinstance(ref, CachedBatch)
+            assert ref.idx.shape == (8,) and ref.flags.shape == (8,)
+            np.testing.assert_array_equal(
+                np.asarray(gather_cached(ref)), np.asarray(want))
+
+    def test_refs_scan_stacked(self):
+        from intro_tc_vae_tpu.data.loader import CachedBatch, gather_cached
+
+        ds = _u8_dataset(n=32, size=8)
+        kw = dict(batch_size=8, stack_steps=2, shuffle=True, seed=3)
+        refs = list(DeviceLoader(ds, device_cache="force", yield_refs=True,
+                                 **kw))
+        streamed = list(DeviceLoader(ds, transfer_dtype="uint8", **kw))
+        for ref, want in zip(refs, streamed):
+            assert isinstance(ref, CachedBatch)
+            got = gather_cached(ref, scan_steps=2)
+            assert got.shape == (2, 8, 8, 8, 3)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_solver_step_accepts_refs_bit_exactly(self):
+        """_step_fn(state, CachedBatch) == _step_fn(state, materialized):
+        the in-step gather + normalize is bit-identical to feeding the
+        gathered uint8 array."""
+        from intro_tc_vae_tpu.data.loader import gather_cached
+        from intro_tc_vae_tpu.models import Decoder, Encoder
+        from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
+
+        ds = _u8_dataset(n=32, size=8)
+        kwargs = dict(cdim=3, zdim=4, channels=(4, 8), image_size=8)
+        solver = make_solver(
+            "vae", dataset=ds,
+            encoder=Encoder(arch="conv", **kwargs),
+            decoder=Decoder(arch="conv", **kwargs),
+            batch_size=8,
+            optimizer_e=make_optimizer("adam", 1e-3),
+            optimizer_d=make_optimizer("adam", 1e-3),
+            beta_kl=0.5, beta_rec=0.75,
+        )
+        loader = DeviceLoader(ds, batch_size=8, shuffle=True, seed=9,
+                              device_cache="force", yield_refs=True)
+        ref = next(iter(loader))
+        arr = gather_cached(ref)
+
+        x0 = jnp.zeros((1, 8, 8, 3))
+        s_ref = solver.init_state(jax.random.key(0), x0)
+        s_arr = solver.init_state(jax.random.key(0), x0)
+        s_ref, m_ref = solver._step_fn(s_ref, ref)
+        s_arr, m_arr = solver._step_fn(s_arr, arr)
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal,
+            jax.device_get(s_ref.params), jax.device_get(s_arr.params))
+        np.testing.assert_array_equal(float(m_ref["loss_enc"]),
+                                      float(m_arr["loss_enc"]))
+
+
 class TestEligibility:
     def test_auto_falls_back_without_raw_storage(self):
         ds = Synthetic(image_size=8, sizes=(2, 2, 2, 2))

@@ -179,6 +179,10 @@ def test_train_e2e_uint8_transfer_with_tensorboard(tmp_path, monkeypatch):
         checkpoint_dir=str(tmp_path / "saves"),
         log_dir=str(tmp_path / "runs" / "tb"),
         data_parallel=1,
+        # this test pins the uint8 STREAMING transfer; the device-cache
+        # path (which would otherwise engage on this tiny fixture and
+        # bypass _make_batch) has its own e2e tests in test_device_cache
+        device_cache="off",
     )
     T.train_soft_intro_vae(config)
     assert seen_dtypes and all(d == np.uint8 for d in seen_dtypes)
@@ -190,6 +194,34 @@ def test_train_e2e_uint8_transfer_with_tensorboard(tmp_path, monkeypatch):
     reader = TensorboardReader(str(tmp_path / "runs"), run_dirs[0].name)
     # image grid written from a uint8 batch (real rows pass through
     # u8_to_unit_f32 before the encoder and the grid concatenate)
+    assert len(reader.reconstructions) > 0
+
+
+@pytest.mark.slow
+def test_train_e2e_device_cache_with_tensorboard(tmp_path):
+    """Full train() with the device cache engaged (CachedBatch references
+    folded into the step): the test_iter-gated TB image grids must
+    materialize the reference batch for the vis path
+    (solvers/base.py::train_step)."""
+    import intro_tc_vae_tpu.train as T
+    from intro_tc_vae_tpu.config import Config
+
+    config = Config(
+        solver="vae", dataset="ukiyo_e64", arch="res", optimizer="adagrad",
+        lr=2e-4, batch_size=3, num_epochs=1, seed=99, z_dim=32,
+        use_tensorboard=True, test_iter=1, num_workers=1,
+        data_root=os.path.join(os.path.dirname(__file__), "test_data"),
+        checkpoint_dir=str(tmp_path / "saves"),
+        log_dir=str(tmp_path / "runs" / "tb"),
+        data_parallel=1, device_cache="force",
+    )
+    T.train_soft_intro_vae(config)
+    run_dirs = list((tmp_path / "runs").iterdir())
+    assert run_dirs
+
+    from intro_tc_vae_tpu.utils.tb_reader import TensorboardReader
+
+    reader = TensorboardReader(str(tmp_path / "runs"), run_dirs[0].name)
     assert len(reader.reconstructions) > 0
 
 
