@@ -69,6 +69,13 @@ class Config:
                                 # -1 = auto, which currently means 0 (plain
                                 # conv): packing measured slower in-context
                                 # at every resolution (BENCHMARKS.md)
+    tile_rows: int = -1         # strip-tile convs whose input height is
+                                # >= 2x this into H-strips stacked on the
+                                # batch axis (same math, better MXU
+                                # occupancy at large spatial dims;
+                                # models/blocks.py::StripTiledConv).
+                                # -1 = auto (resolved per measured wins,
+                                # train.py); 0 = off; N = strip height
     transfer_dtype: str = "auto"  # host->device batch transfer: 'auto'
                                 # transfers raw uint8 (4x fewer bytes;
                                 # normalized on-device, bit-identical)

@@ -36,8 +36,16 @@ def leaky_relu(x):
 
 
 def conv(out_ch: int, kernel: int, *, use_bias: bool = False, in_ch: int | None = None,
-         dtype: Any = None, name: str | None = None) -> nn.Conv:
-    """3x3/5x5/1x1 'SAME' conv with torch-default init (stride 1)."""
+         dtype: Any = None, name: str | None = None, tile_rows: int = 0) -> nn.Module:
+    """3x3/5x5/1x1 'SAME' conv with torch-default init (stride 1).
+
+    ``tile_rows > 0`` selects the strip-tiled execution for large spatial
+    inputs (StripTiledConv) — same params/math, batched-strip shape."""
+    if tile_rows > 0 and kernel > 1:
+        return StripTiledConv(
+            features=out_ch, kernel=kernel, tile_rows=tile_rows,
+            use_bias=use_bias, in_ch=in_ch, dtype=dtype, name=name,
+        )
     kwargs = {}
     if use_bias:
         assert in_ch is not None, "bias init needs fan_in"
@@ -53,6 +61,77 @@ def conv(out_ch: int, kernel: int, *, use_bias: bool = False, in_ch: int | None 
         name=name,
         **kwargs,
     )
+
+
+class StripTiledConv(nn.Module):
+    """The same stride-1 'SAME' conv as ``conv()``, executed space-to-batch.
+
+    XLA's TPU conv emitter loses ~2x efficiency on large spatial extents
+    with few channels (BENCHMARKS.md: the 64-channel 256-pixel decoder
+    block runs at ~28 TFLOP/s where the identical channel structure
+    reaches ~55 TFLOP/s at 64 px). When the input height is at least
+    ``2*tile_rows``, the image is split into ``H/tile_rows`` horizontal
+    strips with ``kernel//2`` halo rows on each side; the strips are
+    stacked onto the batch axis (sample-major, so the output reassembles
+    with a pure reshape — no relayout) and convolved VALID-in-H /
+    SAME-in-W. Every output pixel computes exactly the original taps
+    (equal to accumulation-order noise, ~1e-7 relative in fp32).
+
+    NOTE: measured SLOWER in-context — the 256 px full train step drops
+    93.8 -> 51.1/48.4 img/s at tile_rows 64/32 (BENCHMARKS.md negative
+    results): the halo stack materializes a full-tensor copy per conv and
+    breaks XLA's conv-epilogue fusions, which outweighs any emitter win.
+    Ships as a tested drop-in option, off by default (``tile_rows: 0``).
+
+    Parameters are stored in ``nn.Conv``'s exact layout and names
+    (``kernel`` [k,k,in,out], ``bias`` [out], torch-default init), so
+    checkpoints are interchangeable with the plain conv.
+    """
+
+    features: int
+    kernel: int
+    tile_rows: int
+    use_bias: bool = False
+    in_ch: int | None = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        kernel = self.param(
+            "kernel", torch_kernel_init("conv"),
+            (k, k, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = None
+        if self.use_bias:
+            assert self.in_ch is not None, "bias init needs fan_in"
+            bias = self.param(
+                "bias", torch_bias_init(self.in_ch * k * k),
+                (self.features,), jnp.float32,
+            )
+        # flax-style dtype promotion: params cast to the compute dtype
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+
+        n, h, w, _ = x.shape
+        r = k // 2
+        t = h // self.tile_rows if h >= 2 * self.tile_rows else 1
+        dn = ("NHWC", "HWIO", "NHWC")
+        if t == 1 or h % t:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), [(r, r), (r, r)], dimension_numbers=dn
+            )
+        else:
+            hs = h // t
+            xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)))
+            strips = [xp[:, i * hs: i * hs + hs + 2 * r] for i in range(t)]
+            xt = jnp.stack(strips, axis=1).reshape(n * t, hs + 2 * r, w, -1)
+            yt = jax.lax.conv_general_dilated(
+                xt, kernel, (1, 1), [(0, 0), (r, r)], dimension_numbers=dn
+            )
+            y = yt.reshape(n, h, w, self.features)
+        if bias is not None:
+            y = y + bias
+        return y
 
 
 class GroupedBatchNorm(nn.Module):
@@ -171,14 +250,17 @@ class ConvolutionalBlock(nn.Module):
     outc: int
     scale: float = 1.0
     dtype: Any = None
+    tile_rows: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = True, groups: int = 1):
         midc = int(self.outc * self.scale)
-        y = conv(midc, 3, dtype=self.dtype, name="conv1")(x)
+        y = conv(midc, 3, dtype=self.dtype, name="conv1",
+                 tile_rows=self.tile_rows)(x)
         y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="bn1")(y, groups)
         y = leaky_relu(y)
-        y = conv(self.outc, 3, dtype=self.dtype, name="conv2")(y)
+        y = conv(self.outc, 3, dtype=self.dtype, name="conv2",
+                 tile_rows=self.tile_rows)(y)
         y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="bn2")(y, groups)
         return leaky_relu(y)
 
@@ -195,6 +277,7 @@ class ResidualBlock(nn.Module):
     outc: int
     scale: float = 1.0
     dtype: Any = None
+    tile_rows: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = True, groups: int = 1):
@@ -203,10 +286,12 @@ class ResidualBlock(nn.Module):
             identity = conv(self.outc, 1, dtype=self.dtype, name="conv_expand")(x)
         else:
             identity = x
-        y = conv(midc, 3, dtype=self.dtype, name="conv1")(x)
+        y = conv(midc, 3, dtype=self.dtype, name="conv1",
+                 tile_rows=self.tile_rows)(x)
         y = batch_norm(train, dtype=self.dtype, name="bn1")(y, groups)
         y = leaky_relu(y)
-        y = conv(self.outc, 3, dtype=self.dtype, name="conv2")(y)
+        y = conv(self.outc, 3, dtype=self.dtype, name="conv2",
+                 tile_rows=self.tile_rows)(y)
         y = batch_norm(train, dtype=self.dtype, name="bn2")(y, groups)
         return leaky_relu(y + identity)
 
@@ -237,6 +322,7 @@ class InceptionResnetBlock(nn.Module):
     outc: int
     scale: float = 1.0
     dtype: Any = None
+    tile_rows: int = 0  # accepted for interface parity; 1x1 convs never tile
 
     @nn.compact
     def __call__(self, x, train: bool = True, groups: int = 1):

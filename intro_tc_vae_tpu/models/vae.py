@@ -53,6 +53,16 @@ def conv_output_size(image_size: int, channels: Sequence[int]) -> Tuple[int, int
     return (sz, sz, channels[-1])
 
 
+def resolve_tile_rows(tile_rows: int, image_size: int) -> int:
+    """Resolve the config ``tile_rows`` knob to a concrete strip height.
+
+    -1 = auto: off at every resolution pending a measured in-context win
+    (BENCHMARKS.md); >=0 passes through."""
+    if tile_rows >= 0:
+        return tile_rows
+    return 0
+
+
 def dense(features: int, fan_in: int, dtype: Any = None, name: str | None = None):
     return nn.Dense(
         features,
@@ -72,6 +82,7 @@ class Encoder(nn.Module):
     channels: Sequence[int] = (64, 128, 256, 512, 512, 512)
     image_size: int = 256
     dtype: Any = None
+    tile_rows: int = 0  # >0: strip-tile large-spatial convs (StripTiledConv)
 
     @property
     def conv_output_size(self) -> Tuple[int, int, int]:
@@ -81,19 +92,22 @@ class Encoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool = True, groups: int = 1):
         block = get_conv_class(self.arch)
         cc = self.channels[0]
+        tr = self.tile_rows
 
-        y = conv(cc, 5, dtype=self.dtype, name="stem_conv")(x)
+        y = conv(cc, 5, dtype=self.dtype, name="stem_conv", tile_rows=tr)(x)
         y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="stem_bn")(y, groups)
         y = leaky_relu(y)
         y = avg_pool2(y)
 
         sz = self.image_size // 2
         for i, ch in enumerate(self.channels[1:]):
-            y = block(cc, ch, dtype=self.dtype, name=f"res_in_{sz}")(y, train, groups)
+            y = block(cc, ch, dtype=self.dtype, name=f"res_in_{sz}",
+                      tile_rows=tr)(y, train, groups)
             y = avg_pool2(y)
             cc, sz = ch, sz // 2
 
-        y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}")(y, train, groups)
+        y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}",
+                  tile_rows=tr)(y, train, groups)
 
         h, w, c = self.conv_output_size
         num_fc_features = h * w * c
@@ -117,6 +131,7 @@ class Decoder(nn.Module):
     pack_predict: int = 0  # >1: run the 5x5 predict conv output-packed
     #                        (PackedPredictConv) — same params/math, MXU-
     #                        friendly shape; 0 = plain conv
+    tile_rows: int = 0  # >0: strip-tile large-spatial convs (StripTiledConv)
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = True, groups: int = 1):
@@ -124,6 +139,7 @@ class Decoder(nn.Module):
         cc = self.channels[-1]
         cis = self.conv_input_size or conv_output_size(self.image_size, self.channels)
         num_fc_features = cis[0] * cis[1] * cis[2]
+        tr = self.tile_rows
 
         z = z.reshape(z.shape[0], -1)
         y = dense(num_fc_features, self.zdim, dtype=self.dtype, name="fc")(z)
@@ -132,18 +148,20 @@ class Decoder(nn.Module):
 
         sz = cis[0]
         for ch in self.channels[::-1]:
-            y = block(cc, ch, dtype=self.dtype, name=f"res_in_{sz}")(y, train, groups)
+            y = block(cc, ch, dtype=self.dtype, name=f"res_in_{sz}",
+                      tile_rows=tr)(y, train, groups)
             y = upsample_nearest2(y)
             cc, sz = ch, sz * 2
 
-        y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}")(y, train, groups)
+        y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}",
+                  tile_rows=tr)(y, train, groups)
         if self.pack_predict > 1 and sz % self.pack_predict == 0:
             y = PackedPredictConv(cdim=self.cdim, in_ch=cc,
                                   block=self.pack_predict, dtype=self.dtype,
                                   name="predict")(y)
         else:
             y = conv(self.cdim, 5, use_bias=True, in_ch=cc, dtype=self.dtype,
-                     name="predict")(y)
+                     name="predict", tile_rows=tr)(y)
         # sigmoid + reconstruction losses in fp32 (bf16 conv compute stays
         # inside the blocks)
         return nn.sigmoid(y.astype(jnp.float32))
@@ -164,16 +182,18 @@ class SoftIntroVAE(nn.Module):
     image_size: int = 256
     dtype: Any = None
     pack_predict: int = 0
+    tile_rows: int = 0
 
     def setup(self):
         self.encoder = Encoder(
             self.arch, self.cdim, self.zdim, self.channels, self.image_size,
-            dtype=self.dtype, name="encoder",
+            dtype=self.dtype, tile_rows=self.tile_rows, name="encoder",
         )
         self.decoder = Decoder(
             self.arch, self.cdim, self.zdim, self.channels, self.image_size,
             conv_input_size=conv_output_size(self.image_size, self.channels),
-            dtype=self.dtype, pack_predict=self.pack_predict, name="decoder",
+            dtype=self.dtype, pack_predict=self.pack_predict,
+            tile_rows=self.tile_rows, name="decoder",
         )
 
     def __call__(self, x: jax.Array, deterministic: bool = False, train: bool = True):

@@ -28,7 +28,7 @@ import numpy as np
 from intro_tc_vae_tpu.config import Config
 from intro_tc_vae_tpu.data import DeviceLoader, load_dataset
 from intro_tc_vae_tpu.models import Decoder, Encoder
-from intro_tc_vae_tpu.models.vae import num_params
+from intro_tc_vae_tpu.models.vae import num_params, resolve_tile_rows
 from intro_tc_vae_tpu.parallel import batch_sharding, make_mesh, shard_state
 from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
 from intro_tc_vae_tpu.utils import (
@@ -115,6 +115,7 @@ def train_soft_intro_vae(config: Config):
     model_kwargs = dict(
         arch=config.arch, cdim=ch, zdim=config.z_dim,
         channels=tuple(channels), image_size=image_size, dtype=dtype,
+        tile_rows=resolve_tile_rows(config.tile_rows, image_size),
     )
     encoder = Encoder(**model_kwargs)
     # auto (-1) currently resolves to the plain conv: output-packing the

@@ -210,3 +210,62 @@ class TestPackedPredictConv:
                      jnp.zeros((1, 32)), train=False)
         y = dec.apply(v, jnp.zeros((1, 32)), train=False)
         assert y.shape == (1, 64, 64, 3)
+
+
+class TestStripTiledConv:
+    """The strip-tiled conv must be a drop-in for the plain conv: identical
+    param tree/init, forward equal to accumulation-order noise, matching
+    gradients (same taps, different batching — models/blocks.py)."""
+
+    @pytest.mark.parametrize("kernel,use_bias,h,tile_rows,expect_tiled", [
+        (3, False, 128, 64, True),    # t=2
+        (3, False, 256, 64, True),    # t=4
+        (5, True, 256, 64, True),     # predict-conv shape, t=4
+        (3, False, 96, 64, False),    # h < 2*tile_rows -> internal fallback
+        (3, False, 100, 32, False),   # h % t != 0 -> internal fallback
+    ])
+    def test_matches_plain_conv(self, kernel, use_bias, h, tile_rows,
+                                expect_tiled):
+        from intro_tc_vae_tpu.models.blocks import StripTiledConv, conv
+
+        plain = conv(16, kernel, use_bias=use_bias, in_ch=8)
+        tiled = conv(16, kernel, use_bias=use_bias, in_ch=8,
+                     tile_rows=tile_rows)
+        assert isinstance(tiled, StripTiledConv)
+        x = jax.random.normal(jax.random.key(1), (2, h, h, 8), jnp.float32)
+        v = plain.init(jax.random.key(0), x)
+        # identical param tree and init values -> checkpoints interchange
+        vt = tiled.init(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vt)
+        for a, b in zip(jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(vt)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        def loss(v, mod):
+            y = mod.apply(v, x)
+            w = jnp.cos(jnp.arange(y.size, dtype=jnp.float32)).reshape(y.shape)
+            return jnp.sum(y * w)
+
+        ya = plain.apply(v, x)
+        yb = tiled.apply(v, x)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=1e-5, atol=1e-5)
+        la, ga = jax.value_and_grad(loss)(v, plain)
+        lb, gb = jax.value_and_grad(loss)(v, tiled)
+        assert abs(float(la - lb)) < 1e-4 * (1 + abs(float(la)))
+        for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-12
+            assert np.abs(a - b).max() / scale < 1e-4
+
+    def test_decoder_drop_in(self):
+        kw = dict(cdim=3, zdim=32, channels=(8, 16), image_size=256)
+        plain = Decoder(**kw)
+        tiled = Decoder(tile_rows=64, **kw)
+        rngs = {"params": jax.random.key(0)}
+        z = jax.random.normal(jax.random.key(1), (2, 32))
+        va = plain.init(rngs, z, train=False)
+        vb = tiled.init(rngs, z, train=False)
+        assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+        ya = plain.apply(va, z, train=False)
+        yb = tiled.apply(va, z, train=False)  # same params on the tiled path
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=5e-3)
