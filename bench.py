@@ -32,7 +32,7 @@ NORTH_STAR = 20000.0
 
 def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc",
          tc_impl="xla", iters=ITERS, scan=1, fuse=True, emit=True, tb=False,
-         pack=0, tile=0):
+         pack=0, tile=0, remat=False):
     from intro_tc_vae_tpu.data import Synthetic
     from intro_tc_vae_tpu.models import Decoder, Encoder
     from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
@@ -52,7 +52,7 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
 
     dataset = Synthetic(image_size=image_size, cdim=3, sizes=(4, 5, 8, 8))
     kwargs = dict(cdim=3, zdim=ZDIM, channels=channels, image_size=image_size,
-                  dtype=dtype, tile_rows=tile)
+                  dtype=dtype, tile_rows=tile, remat=remat)
     solver = make_solver(
         solver_name,
         dataset=dataset,
@@ -264,6 +264,9 @@ if __name__ == "__main__":
     ap.add_argument("--tile", type=int, default=0,
                     help="strip-tile convs at >=2x this input height "
                          "(models/blocks.py::StripTiledConv; 0 = off)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize conv blocks in backward "
+                         "(activation-memory headroom for larger batches)")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable paired-pass fusion (solvers/intro.py)")
     ap.add_argument("--tb", action="store_true",
@@ -283,4 +286,5 @@ if __name__ == "__main__":
         headline(full_sweep=a.sweep)
     else:
         main(a.batch, a.image_size, a.arch, a.solver, a.tc_impl, a.iters,
-             a.scan, fuse=not a.no_fuse, tb=a.tb, pack=a.pack, tile=a.tile)
+             a.scan, fuse=not a.no_fuse, tb=a.tb, pack=a.pack, tile=a.tile,
+             remat=a.remat)

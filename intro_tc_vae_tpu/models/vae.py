@@ -83,6 +83,11 @@ class Encoder(nn.Module):
     image_size: int = 256
     dtype: Any = None
     tile_rows: int = 0  # >0: strip-tile large-spatial convs (StripTiledConv)
+    remat: bool = False  # rematerialize per-block: backward recomputes the
+    #                      block's inner activations instead of keeping them
+    #                      in HBM (jax.checkpoint via nn.remat) — trades
+    #                      ~1 extra forward of FLOPs for ~2x activation
+    #                      memory headroom at large image sizes
 
     @property
     def conv_output_size(self) -> Tuple[int, int, int]:
@@ -91,6 +96,8 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True, groups: int = 1):
         block = get_conv_class(self.arch)
+        if self.remat:  # args: 0=module, 1=x, 2=train, 3=groups
+            block = nn.remat(block, static_argnums=(2, 3))
         cc = self.channels[0]
         tr = self.tile_rows
 
@@ -132,10 +139,13 @@ class Decoder(nn.Module):
     #                        (PackedPredictConv) — same params/math, MXU-
     #                        friendly shape; 0 = plain conv
     tile_rows: int = 0  # >0: strip-tile large-spatial convs (StripTiledConv)
+    remat: bool = False  # per-block rematerialization (see Encoder.remat)
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = True, groups: int = 1):
         block = get_conv_class(self.arch)
+        if self.remat:  # args: 0=module, 1=x, 2=train, 3=groups
+            block = nn.remat(block, static_argnums=(2, 3))
         cc = self.channels[-1]
         cis = self.conv_input_size or conv_output_size(self.image_size, self.channels)
         num_fc_features = cis[0] * cis[1] * cis[2]
@@ -183,17 +193,19 @@ class SoftIntroVAE(nn.Module):
     dtype: Any = None
     pack_predict: int = 0
     tile_rows: int = 0
+    remat: bool = False
 
     def setup(self):
         self.encoder = Encoder(
             self.arch, self.cdim, self.zdim, self.channels, self.image_size,
-            dtype=self.dtype, tile_rows=self.tile_rows, name="encoder",
+            dtype=self.dtype, tile_rows=self.tile_rows, remat=self.remat,
+            name="encoder",
         )
         self.decoder = Decoder(
             self.arch, self.cdim, self.zdim, self.channels, self.image_size,
             conv_input_size=conv_output_size(self.image_size, self.channels),
             dtype=self.dtype, pack_predict=self.pack_predict,
-            tile_rows=self.tile_rows, name="decoder",
+            tile_rows=self.tile_rows, remat=self.remat, name="decoder",
         )
 
     def __call__(self, x: jax.Array, deterministic: bool = False, train: bool = True):

@@ -116,6 +116,7 @@ def train_soft_intro_vae(config: Config):
         arch=config.arch, cdim=ch, zdim=config.z_dim,
         channels=tuple(channels), image_size=image_size, dtype=dtype,
         tile_rows=resolve_tile_rows(config.tile_rows, image_size),
+        remat=config.remat,
     )
     encoder = Encoder(**model_kwargs)
     # auto (-1) currently resolves to the plain conv: output-packing the

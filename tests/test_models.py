@@ -269,3 +269,33 @@ class TestStripTiledConv:
         ya = plain.apply(va, z, train=False)
         yb = tiled.apply(va, z, train=False)  # same params on the tiled path
         np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=5e-3)
+
+
+class TestRemat:
+    """remat=True must be invisible to numerics: identical param tree,
+    bit-equal forward, matching gradients — only the backward's memory
+    schedule changes (per-block jax.checkpoint, models/vae.py)."""
+
+    @pytest.mark.parametrize("arch", ["conv", "res", "inception"])
+    def test_model_equivalence(self, arch):
+        kw = dict(arch=arch, cdim=3, zdim=16, channels=(8, 16), image_size=32)
+        m0 = SoftIntroVAE(**kw)
+        m1 = SoftIntroVAE(remat=True, **kw)
+        rngs = {"params": jax.random.key(0), "reparam": jax.random.key(1)}
+        x = jax.random.uniform(jax.random.key(2), (4, 32, 32, 3))
+        v0 = m0.init(rngs, x)
+        v1 = m1.init(rngs, x)
+        assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+
+        def loss(v, m):
+            (mu, logvar, z, y), _ = m.apply(
+                v, x, train=True, mutable=["batch_stats"],
+                rngs={"reparam": jax.random.key(3)})
+            return jnp.sum(y**2) + jnp.sum(mu**2) + jnp.sum(logvar**2)
+
+        l0, g0 = jax.value_and_grad(loss)(v0, m0)
+        l1, g1 = jax.value_and_grad(loss)(v0, m1)
+        assert float(l0) == float(l1)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
