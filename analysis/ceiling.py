@@ -29,7 +29,11 @@ SUSTAINED_TFLOPS = 146.5  # measured: 20 chained 8192^3 bf16 matmuls
 CONFIGS = [
     ("intro_tc", 64, 64),    # flagship (config 3/4)
     ("intro_tc", 128, 64),   # config 5 shapes
-    ("intro_tc", 256, 32),   # ukiyo_e256 shapes
+    ("intro_tc", 256, 32),   # ukiyo_e256 shapes (reference default batch)
+    ("intro_tc", 256, 64),   # ukiyo_e256 at the chip's memory frontier:
+    #                          batch 32 underfills the MXU (48% of ceiling);
+    #                          batch 64 reaches the 68% emitter-bound
+    #                          plateau every other config sits at
     ("vae", 64, 64),         # config 1-family single-phase
     ("tc", 64, 64),          # config 2-family
 ]
