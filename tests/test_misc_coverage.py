@@ -94,3 +94,47 @@ def test_parity_curves_harness_smoke(tmp_path):
     summary = json.loads((tmp_path / "summary_vae.json").read_text())
     # same weights + deterministic-ish early steps: curves must be close
     assert summary["loss_rec"]["max_rel_gap_smoothed"] < 0.2
+
+
+def test_scaling_comms_hlo_parser():
+    """audit_hlo_text counts collectives and payload bytes from optimized
+    HLO text (analysis/scaling_comms.py — the ICI-traffic audit)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from analysis.scaling_comms import audit_hlo_text
+
+    hlo = """
+  %add.1 = f32[64,128]{1,0} add(%a, %b)
+  %ar = f32[64,128]{1,0} all-reduce(%add.1), replica_groups={}
+  %ars = (f32[8]{0}, f32[4,2]{1,0}) all-reduce-start(%x, %y)
+  %ard = (f32[8]{0}, f32[4,2]{1,0}) all-reduce-done(%ars)
+  %ag = bf16[16,32]{1,0} all-gather(%p), dimensions={0}
+  %cp = u8[10]{0} collective-permute(%q)
+"""
+    r = audit_hlo_text(hlo)
+    # one sync all-reduce (64*128*4) + one async pair counted once (8*4 + 8*4)
+    assert r["all-reduce"]["count"] == 2
+    assert r["all-reduce"]["bytes"] == 64 * 128 * 4 + 8 * 4 + 8 * 4
+    assert r["all-gather"] == {"count": 1, "bytes": 16 * 32 * 2}
+    assert r["collective-permute"] == {"count": 1, "bytes": 10}
+    assert r["total_bytes"] == sum(
+        r[k]["bytes"] for k in ("all-reduce", "all-gather", "reduce-scatter",
+                                "collective-permute", "all-to-all"))
+
+
+@pytest.mark.slow
+def test_scaling_comms_audit_invariants():
+    """The compiled intro_tc step's collective traffic (8-device virtual
+    mesh, tiny shapes): DP grad sync moves at least the parameter bytes;
+    TP adds all-gather activation traffic; totals are sane."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from analysis.scaling_comms import _run_child
+
+    r = _run_child(8, tiny=True)
+    dp, tp = r["dp8"], r["tp2_dp4"]
+    # the two grad phases must all-reduce every param at least once
+    assert dp["all-reduce"]["bytes"] >= dp["param_bytes"]
+    # tensor parallelism pays activation all-gathers DP does not
+    assert tp["all-gather"]["bytes"] > 10 * dp["all-gather"]["bytes"]
+    assert r["dp8_sharded_tc"]["total_bytes"] > 0
