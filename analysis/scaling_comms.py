@@ -78,7 +78,7 @@ def audit_hlo_text(txt: str) -> dict:
     return out
 
 
-def _run_child(n_devices: int, tiny: bool) -> dict:
+def _run_child(n_devices: int, tiny: bool, phases: tuple = None) -> dict:
     """Re-exec under a clean CPU platform with n virtual devices."""
     env = dict(os.environ)
     env["_ITCVAE_COMMS_CHILD"] = "1"
@@ -90,7 +90,7 @@ def _run_child(n_devices: int, tiny: bool) -> dict:
     ).strip()
     code = (f"import sys; sys.path.insert(0, {REPO!r}); "
             f"from analysis.scaling_comms import _child_main; "
-            f"_child_main({n_devices}, {tiny})")
+            f"_child_main({n_devices}, {tiny}, {phases!r})")
     proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
                           capture_output=True, text=True)
     if proc.returncode != 0:
@@ -98,7 +98,7 @@ def _run_child(n_devices: int, tiny: bool) -> dict:
     return json.loads(proc.stdout.splitlines()[-1])
 
 
-def _child_main(n_devices: int, tiny: bool) -> None:
+def _child_main(n_devices: int, tiny: bool, phases: tuple = None) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -133,10 +133,12 @@ def _child_main(n_devices: int, tiny: bool) -> None:
         return compiled.as_text(), param_bytes
 
     results = {}
-    phases = [("dp8", make_mesh(n_devices), "xla", None),
-              ("dp8_sharded_tc", make_mesh(n_devices), "blockwise", None),
-              ("tp2_dp4", make_mesh(n_devices, model_parallel=2), "xla", 8)]
-    for name, mesh, tc_impl, min_dim in phases:
+    all_phases = [("dp8", make_mesh(n_devices), "xla", None),
+                  ("dp8_sharded_tc", make_mesh(n_devices), "blockwise", None),
+                  ("tp2_dp4", make_mesh(n_devices, model_parallel=2), "xla", 8)]
+    if phases:
+        all_phases = [p for p in all_phases if p[0] in phases]
+    for name, mesh, tc_impl, min_dim in all_phases:
         txt, param_bytes = compile_phase(mesh, tc_impl, min_dim)
         results[name] = audit_hlo_text(txt)
         results[name]["param_bytes"] = param_bytes

@@ -131,10 +131,9 @@ def test_scaling_comms_audit_invariants():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from analysis.scaling_comms import _run_child
 
-    r = _run_child(8, tiny=True)
+    r = _run_child(8, tiny=True, phases=("dp8", "tp2_dp4"))
     dp, tp = r["dp8"], r["tp2_dp4"]
     # the two grad phases must all-reduce every param at least once
     assert dp["all-reduce"]["bytes"] >= dp["param_bytes"]
     # tensor parallelism pays activation all-gathers DP does not
     assert tp["all-gather"]["bytes"] > 10 * dp["all-gather"]["bytes"]
-    assert r["dp8_sharded_tc"]["total_bytes"] > 0
