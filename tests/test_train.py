@@ -150,3 +150,19 @@ def test_fingerprint_format():
                beta_kl=0.5, beta_neg=512.0, beta_rec=0.75)
     fp = c.fingerprint()
     assert fp == ("intro-tc_ukiyo_e64_betas_0.5_512.0_0.75_1e-08_zdim_128_res_adam")
+
+
+def test_tpu_knobs_accepted_and_resolved():
+    """The round-3 TPU knobs round-trip through the config system and the
+    auto resolvers keep the defaults inert (tile_rows auto -> 0)."""
+    from intro_tc_vae_tpu.models.vae import resolve_tile_rows
+
+    c = load_config(None, {"solver": "vae", "dataset": "synthetic",
+                           "remat": True, "tile_rows": 32})
+    assert c.remat is True and c.tile_rows == 32
+    base = Config(solver="vae", dataset="synthetic")
+    # new knobs must not disturb the reference-compatible fingerprint
+    assert c.fingerprint() == base.fingerprint()
+    assert resolve_tile_rows(-1, 64) == 0
+    assert resolve_tile_rows(-1, 256) == 0  # auto is off until a win exists
+    assert resolve_tile_rows(64, 256) == 64
