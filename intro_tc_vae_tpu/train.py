@@ -42,6 +42,21 @@ from intro_tc_vae_tpu.utils.nan import enable_anomaly_detection
 from intro_tc_vae_tpu.utils.profiling import StepTimer, profile_trace
 
 
+def resolve_fuse_passes(fuse: bool | None, batch_size: int,
+                        data_axis: int) -> bool:
+    """Resolve the ``fuse_passes`` auto mode (None) to a concrete choice.
+
+    Measured crossover (BENCHMARKS.md): pairing (2x-batch calls) beats
+    unpaired below ~batch 128 PER DEVICE; past it the batch alone fills
+    the MXU and pairing's extra copies cost more than the occupancy it
+    buys (under DP it also pays concat/split collective-permutes — the
+    ICI audit). The occupancy argument is per-device, so the rule uses
+    the per-data-shard batch, not the global one."""
+    if fuse is not None:
+        return fuse
+    return batch_size // max(1, data_axis) < 128
+
+
 def train_soft_intro_vae(config: Config):
     """Run one training job from a Config; returns the final TrainState."""
     # ----- seeding (reference train.py:38-44) -----
@@ -174,13 +189,8 @@ def train_soft_intro_vae(config: Config):
         scan_steps=scan_steps,
         mesh=mesh,
         batch_sharding=b_sharding,
-        fuse_passes=(
-            config.fuse_passes if config.fuse_passes is not None
-            # measured crossover (BENCHMARKS.md): pairing (2x-batch calls)
-            # beats unpaired below ~batch 128; past it the batch alone
-            # fills the MXU and pairing's extra copies cost more than the
-            # occupancy it buys
-            else config.batch_size < 128
+        fuse_passes=resolve_fuse_passes(
+            config.fuse_passes, config.batch_size, n_total // mp
         ),
     )
 

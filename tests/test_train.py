@@ -166,3 +166,17 @@ def test_tpu_knobs_accepted_and_resolved():
     assert resolve_tile_rows(-1, 64) == 0
     assert resolve_tile_rows(-1, 256) == 0  # auto is off until a win exists
     assert resolve_tile_rows(64, 256) == 64
+
+
+def test_resolve_fuse_passes_uses_per_device_batch():
+    """The pairing auto mode keys on the PER-DEVICE batch: a global batch
+    that crosses the single-chip crossover still pairs when sharded thin
+    over the data axis (crossover measured in BENCHMARKS.md)."""
+    from intro_tc_vae_tpu.train import resolve_fuse_passes
+
+    assert resolve_fuse_passes(None, 64, 1) is True     # below crossover
+    assert resolve_fuse_passes(None, 128, 1) is False   # at/above it
+    assert resolve_fuse_passes(None, 256, 8) is True    # 32/chip under DP8
+    assert resolve_fuse_passes(None, 1024, 8) is False  # 128/chip
+    assert resolve_fuse_passes(True, 1024, 8) is True   # explicit wins
+    assert resolve_fuse_passes(False, 64, 1) is False
