@@ -107,7 +107,7 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
     return imgs_per_sec
 
 
-def infer(batch=256, image_size=IMAGE_SIZE, arch="conv", iters=ITERS):
+def infer(batch=256, image_size=IMAGE_SIZE, arch="conv", iters=ITERS, pack=0):
     """Serving-path throughput: eval-mode (running-average BN) jitted
     decode (prior sample -> image) and encode (image -> mu), bf16 on TPU.
 
@@ -129,7 +129,7 @@ def infer(batch=256, image_size=IMAGE_SIZE, arch="conv", iters=ITERS):
     solver = make_solver(
         "vae", dataset=dataset,
         encoder=Encoder(arch=arch, **kwargs),
-        decoder=Decoder(arch=arch, **kwargs),
+        decoder=Decoder(arch=arch, pack_predict=pack, **kwargs),
         batch_size=batch,
         optimizer_e=make_optimizer("adam", 2e-4),
         optimizer_d=make_optimizer("adam", 2e-4),
@@ -150,9 +150,14 @@ def infer(batch=256, image_size=IMAGE_SIZE, arch="conv", iters=ITERS):
                 out = apply_one(carry)
                 # thread a zero-valued dependence of the next input on this
                 # output: every scan step is sequential on device and the
-                # single final fetch forces the whole chain (BENCHMARKS.md)
-                carry = carry + (0 * out.ravel()[0]).astype(carry.dtype)
-                return carry, out.ravel()[0].astype(jnp.float32)
+                # single final fetch forces the whole chain (BENCHMARKS.md).
+                # The probe MUST be cast to float BEFORE the zero-mul: for
+                # integer outputs (the u8 export surface) XLA folds x*0 to
+                # a constant, severing the chain and measuring enqueue rate
+                # (~17x overstatement observed).
+                probe = out.ravel()[0].astype(jnp.float32)
+                carry = carry + (0 * probe).astype(carry.dtype)
+                return carry, probe
             _, probes = jax.lax.scan(body, inp, None, length=K)
             return probes.sum()
         return run
@@ -281,7 +286,7 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.infer:
         infer(batch=a.batch or 256, image_size=a.image_size, arch=a.arch,
-              iters=a.iters)
+              iters=a.iters, pack=a.pack)
     elif a.batch == 0:
         headline(full_sweep=a.sweep)
     else:

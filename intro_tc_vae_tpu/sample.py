@@ -41,6 +41,12 @@ def main(argv=None):
                     help="also reconstruct --num dataset images")
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--out", default="samples.png")
+    ap.add_argument("--pack", type=int, default=0,
+                    help="run the predict conv output-packed NxN "
+                         "(PackedPredictConv; weight-compatible). ~2x "
+                         "decode throughput at every resolution on TPU "
+                         "(BENCHMARKS.md serving table); bf16-noise-level "
+                         "value differences")
     args = ap.parse_args(argv)
 
     import jax
@@ -58,7 +64,7 @@ def main(argv=None):
     solver = make_solver(
         "vae", dataset=dataset,
         encoder=Encoder(arch=args.arch, **kwargs),
-        decoder=Decoder(arch=args.arch, **kwargs),
+        decoder=Decoder(arch=args.arch, pack_predict=args.pack, **kwargs),
         batch_size=args.num,
         optimizer_e=make_optimizer("adam", 1e-3),
         optimizer_d=make_optimizer("adam", 1e-3),
