@@ -49,22 +49,24 @@ def _shape_bytes(dtype: str, dims: str) -> int:
 def audit_hlo_text(txt: str) -> dict:
     """Count collective ops and their payload bytes in optimized HLO.
 
-    Async pairs (`all-reduce-start`/`-done`) are counted once via the
-    -start line; plain sync forms via the op name itself. The payload is
-    the op's result shape(s) — for tuple-shaped fused collectives, every
-    element of the tuple.
+    Async pairs are counted once via the `-done` line, whose result shape
+    IS the collective's payload (a `-start`'s tuple also aliases the
+    operand buffers and context scratch, which would double-count); plain
+    sync forms are counted via the op name itself. `ROOT %op = ...` lines
+    are matched too (collectives can be computation roots). For
+    tuple-shaped fused collectives, every element of the tuple counts.
     """
     out = {k: {"count": 0, "bytes": 0} for k in _COLLECTIVES}
     for line in txt.splitlines():
         line = line.strip()
-        m = re.match(r"%?[\w.\-]+\s*=\s*(\([^)]*\)|[\w\[\]{},: ]+?)\s+"
-                     r"([\w\-]+)\(", line)
+        m = re.match(r"(?:ROOT\s+)?%?[\w.\-]+\s*=\s*"
+                     r"(\([^)]*\)|[\w\[\]{},: ]+?)\s+([\w\-]+)\(", line)
         if not m:
             continue
         result_shapes, op = m.groups()
         kind = None
         for c in _COLLECTIVES:
-            if op == c or op == c + "-start":
+            if op == c or op == c + "-done":
                 kind = c
                 break
         if kind is None:
@@ -81,7 +83,6 @@ def audit_hlo_text(txt: str) -> dict:
 def _run_child(n_devices: int, tiny: bool, phases: tuple = None) -> dict:
     """Re-exec under a clean CPU platform with n virtual devices."""
     env = dict(os.environ)
-    env["_ITCVAE_COMMS_CHILD"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
     flags = " ".join(f for f in env.get("XLA_FLAGS", "").split()
                      if "xla_force_host_platform_device_count" not in f)

@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--fid-samples", type=int, default=640)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--data-root", default=None)
+    ap.add_argument("--pack", type=int, default=0,
+                    help="run the predict conv output-packed NxN for sample "
+                         "decoding (weight-compatible; ~2x decode on TPU — "
+                         "BENCHMARKS.md serving table)")
     ap.add_argument("--out", default=None, help="optional JSON output path")
     args = ap.parse_args(argv)
 
@@ -55,7 +59,7 @@ def main(argv=None):
     solver = make_solver(
         "vae", dataset=dataset,
         encoder=Encoder(arch=args.arch, **kwargs),
-        decoder=Decoder(arch=args.arch, **kwargs),
+        decoder=Decoder(arch=args.arch, pack_predict=args.pack, **kwargs),
         batch_size=args.batch,
         optimizer_e=make_optimizer("adam", 1e-3),
         optimizer_d=make_optimizer("adam", 1e-3),

@@ -105,16 +105,18 @@ def test_scaling_comms_hlo_parser():
 
     hlo = """
   %add.1 = f32[64,128]{1,0} add(%a, %b)
-  %ar = f32[64,128]{1,0} all-reduce(%add.1), replica_groups={}
-  %ars = (f32[8]{0}, f32[4,2]{1,0}) all-reduce-start(%x, %y)
-  %ard = (f32[8]{0}, f32[4,2]{1,0}) all-reduce-done(%ars)
+  ROOT %ar = f32[64,128]{1,0} all-reduce(%add.1), replica_groups={}
+  %ars = (f32[8]{0}, f32[8]{0}, u32[]) all-reduce-start(%x)
+  %ard = f32[8]{0} all-reduce-done(%ars)
   %ag = bf16[16,32]{1,0} all-gather(%p), dimensions={0}
   %cp = u8[10]{0} collective-permute(%q)
 """
     r = audit_hlo_text(hlo)
-    # one sync all-reduce (64*128*4) + one async pair counted once (8*4 + 8*4)
+    # one sync all-reduce on a ROOT line (64*128*4) + one async pair counted
+    # once via the -done result (8*4) — the -start tuple aliases the operand
+    # and scratch, which must NOT be double-counted
     assert r["all-reduce"]["count"] == 2
-    assert r["all-reduce"]["bytes"] == 64 * 128 * 4 + 8 * 4 + 8 * 4
+    assert r["all-reduce"]["bytes"] == 64 * 128 * 4 + 8 * 4
     assert r["all-gather"] == {"count": 1, "bytes": 16 * 32 * 2}
     assert r["collective-permute"] == {"count": 1, "bytes": 10}
     assert r["total_bytes"] == sum(
