@@ -52,7 +52,8 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
 
     dataset = Synthetic(image_size=image_size, cdim=3, sizes=(4, 5, 8, 8))
     kwargs = dict(cdim=3, zdim=ZDIM, channels=channels, image_size=image_size,
-                  dtype=dtype, tile_rows=tile, remat=remat)
+                  dtype=dtype, tile_rows=tile,
+                  remat=remat in (True, "block"))
     solver = make_solver(
         solver_name,
         dataset=dataset,
@@ -70,6 +71,7 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
         fuse_passes=fuse,
         writer=writer,
         test_iter=10**9,  # TB bench: scalar writes only, no image/metric dumps
+        remat_passes=remat == "pass",
     )
 
     x = jnp.asarray(dataset.get_batch(np.arange(batch) % len(dataset)))
@@ -269,9 +271,11 @@ if __name__ == "__main__":
     ap.add_argument("--tile", type=int, default=0,
                     help="strip-tile convs at >=2x this input height "
                          "(models/blocks.py::StripTiledConv; 0 = off)")
-    ap.add_argument("--remat", action="store_true",
-                    help="rematerialize conv blocks in backward "
-                         "(activation-memory headroom for larger batches)")
+    ap.add_argument("--remat", nargs="?", const="block", default=False,
+                    choices=["block", "pass"],
+                    help="activation remat: 'block' = per conv block; "
+                         "'pass' = whole encode/decode passes of the intro "
+                         "step (the bigger memory lever for large batches)")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable paired-pass fusion (solvers/intro.py)")
     ap.add_argument("--tb", action="store_true",

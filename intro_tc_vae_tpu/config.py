@@ -69,10 +69,14 @@ class Config:
                                 # -1 = auto, which currently means 0 (plain
                                 # conv): packing measured slower in-context
                                 # at every resolution (BENCHMARKS.md)
-    remat: bool = False         # rematerialize conv blocks in backward
-                                # (jax.checkpoint per block): ~2x activation
-                                # memory headroom for ~1 extra forward of
-                                # FLOPs — enables larger batches at 256px
+    remat: bool = False         # activation rematerialization:
+                                # true/"block" = jax.checkpoint per conv
+                                # block (~2x activation headroom, ~1 extra
+                                # forward of FLOPs); "pass" = checkpoint
+                                # whole encode/decode passes of the intro
+                                # two-phase step (only each pass's in/out
+                                # tensors persist — the bigger memory lever
+                                # for large batches at 256px)
     tile_rows: int = -1         # strip-tile convs whose input height is
                                 # >= 2x this into H-strips stacked on the
                                 # batch axis (same math, better MXU

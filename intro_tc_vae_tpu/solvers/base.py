@@ -304,6 +304,7 @@ class VAESolver:
         mesh=None,
         batch_sharding=None,
         fuse_passes: bool = True,
+        remat_passes: bool = False,
     ):
         self.dataset = dataset
         self.encoder = encoder
@@ -318,6 +319,10 @@ class VAESolver:
         # pair the intro step's independent passes into 2x-batch calls with
         # per-group BN stats (see solvers/intro.py); no-op for vae/tc steps
         self.fuse_passes = fuse_passes
+        # checkpoint whole encode/decode passes of the intro step (config
+        # remat="pass"): backward recomputes pass internals, only pass
+        # boundaries persist in HBM; no-op for the single-phase vae/tc steps
+        self.remat_passes = remat_passes
 
         image_size = encoder.image_size
         cdim = encoder.cdim

@@ -45,7 +45,7 @@ sg = jax.lax.stop_gradient
 
 
 def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d,
-                     paired: bool = True):
+                     paired: bool = True, remat_passes: bool = False):
     """Build the jitted two-phase (state, batch) -> (state, metrics) step.
 
     paired=True batches each phase's independent same-network passes into
@@ -58,7 +58,24 @@ def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d,
     runs at 2x the batch. Numerics match the unpaired step to float
     round-off (tests/test_solvers.py); running stats compose in the
     reference's per-network pass order.
+
+    remat_passes=True wraps every encode/decode pass in ``jax.checkpoint``:
+    the forward keeps only each pass's input/output tensors (images, z,
+    BN stats) and the backward recomputes the pass internals. Per-block
+    remat (models remat=True) still keeps cross-pass block-boundary
+    activations of all ~7 passes live; this is the stronger memory lever
+    for large batches at 256px (BENCHMARKS.md), numerically invisible.
     """
+    enc_p, dec_p = encode, decode
+    if remat_passes:
+        _enc = jax.checkpoint(encode, static_argnums=(0, 4, 5))
+        _dec = jax.checkpoint(decode, static_argnums=(0, 4, 5))
+
+        def enc_p(m, p, s, x, train=True, groups=1):
+            return _enc(m, p, s, x, train, groups)
+
+        def dec_p(m, p, s, z, train=True, groups=1):
+            return _dec(m, p, s, z, train, groups)
 
     def step(state: TrainState, batch) -> tuple[TrainState, dict]:
         rng, k_noise, k_real, k_rec_e, k_fake_e, k_rec_d, k_fake_d = (
@@ -71,18 +88,18 @@ def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d,
         def loss_e(params_e, params_d, stats):
             se, sd = stats["encoder"], stats["decoder"]
             if paired:
-                mu, logvar, se = encode(encoder, params_e, se, batch)
+                mu, logvar, se = enc_p(encoder, params_e, se, batch)
                 z = ops.reparameterize(k_real, mu, logvar)
                 # decoder pass-group order (noise, z) == reference
                 # dec(noise) ... dec(z) sequence (intro.py:71,75)
-                fz, sd = decode(decoder, params_d, sd,
+                fz, sd = dec_p(decoder, params_d, sd,
                                 jnp.concatenate([noise, z]), groups=2)
                 fake, rec = jnp.split(fz, 2)
 
                 loss_rec = rec_term(h, batch, rec, reduction="mean")
                 lossE_real_kl, kl_unscaled = kl_term(h, z, mu, logvar)
 
-                mus, logvars, se = encode(
+                mus, logvars, se = enc_p(
                     encoder, params_e, se, sg(jnp.concatenate([rec, fake])),
                     groups=2,
                 )
@@ -90,26 +107,26 @@ def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d,
                 rec_logvar, fake_logvar = jnp.split(logvars, 2)
                 z_rec = ops.reparameterize(k_rec_e, rec_mu, rec_logvar)
                 z_fake = ops.reparameterize(k_fake_e, fake_mu, fake_logvar)
-                rr, sd = decode(decoder, params_d, sd,
+                rr, sd = dec_p(decoder, params_d, sd,
                                 jnp.concatenate([z_rec, z_fake]), groups=2)
                 rec_rec, rec_fake = jnp.split(rr, 2)
             else:
-                fake, sd = decode(decoder, params_d, sd, noise)
+                fake, sd = dec_p(decoder, params_d, sd, noise)
 
-                mu, logvar, se = encode(encoder, params_e, se, batch)
+                mu, logvar, se = enc_p(encoder, params_e, se, batch)
                 z = ops.reparameterize(k_real, mu, logvar)
-                rec, sd = decode(decoder, params_d, sd, z)
+                rec, sd = dec_p(decoder, params_d, sd, z)
 
                 loss_rec = rec_term(h, batch, rec, reduction="mean")
                 lossE_real_kl, kl_unscaled = kl_term(h, z, mu, logvar)
 
-                rec_mu, rec_logvar, se = encode(encoder, params_e, se, sg(rec))
+                rec_mu, rec_logvar, se = enc_p(encoder, params_e, se, sg(rec))
                 z_rec = ops.reparameterize(k_rec_e, rec_mu, rec_logvar)
-                rec_rec, sd = decode(decoder, params_d, sd, z_rec)
+                rec_rec, sd = dec_p(decoder, params_d, sd, z_rec)
 
-                fake_mu, fake_logvar, se = encode(encoder, params_e, se, sg(fake))
+                fake_mu, fake_logvar, se = enc_p(encoder, params_e, se, sg(fake))
                 z_fake = ops.reparameterize(k_fake_e, fake_mu, fake_logvar)
-                rec_fake, sd = decode(decoder, params_d, sd, z_fake)
+                rec_fake, sd = dec_p(decoder, params_d, sd, z_fake)
 
             kl_rec, _ = kl_term(h, z_rec, rec_mu, rec_logvar,
                                 reduce="none", beta=h.beta_neg)
@@ -159,14 +176,14 @@ def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d,
         def loss_d(params_d, params_e, stats):
             se, sd = stats["encoder"], stats["decoder"]
             if paired:
-                fr, sd = decode(decoder, params_d, sd,
+                fr, sd = dec_p(decoder, params_d, sd,
                                 jnp.concatenate([noise, z_detached]), groups=2)
                 fake, rec = jnp.split(fr, 2)
                 loss_rec = rec_term(h, batch, rec, reduction="mean")
 
                 # encoder pass-group order (rec, fake) == reference
                 # enc(rec) ... enc(fake) sequence (intro.py:128-132)
-                mus, logvars, se = encode(
+                mus, logvars, se = enc_p(
                     encoder, params_e, se, jnp.concatenate([rec, fake]),
                     groups=2,
                 )
@@ -175,21 +192,21 @@ def build_intro_step(h: SolverHyper, encoder, decoder, opt_e, opt_d,
                 z_rec = ops.reparameterize(k_rec_d, rec_mu, rec_logvar)
                 z_fake = ops.reparameterize(k_fake_d, fake_mu, fake_logvar)
 
-                rr, sd = decode(decoder, params_d, sd,
+                rr, sd = dec_p(decoder, params_d, sd,
                                 sg(jnp.concatenate([z_rec, z_fake])), groups=2)
                 rec_rec, rec_fake = jnp.split(rr, 2)
             else:
-                fake, sd = decode(decoder, params_d, sd, noise)
-                rec, sd = decode(decoder, params_d, sd, z_detached)
+                fake, sd = dec_p(decoder, params_d, sd, noise)
+                rec, sd = dec_p(decoder, params_d, sd, z_detached)
                 loss_rec = rec_term(h, batch, rec, reduction="mean")
 
-                rec_mu, rec_logvar, se = encode(encoder, params_e, se, rec)
+                rec_mu, rec_logvar, se = enc_p(encoder, params_e, se, rec)
                 z_rec = ops.reparameterize(k_rec_d, rec_mu, rec_logvar)
-                fake_mu, fake_logvar, se = encode(encoder, params_e, se, fake)
+                fake_mu, fake_logvar, se = enc_p(encoder, params_e, se, fake)
                 z_fake = ops.reparameterize(k_fake_d, fake_mu, fake_logvar)
 
-                rec_rec, sd = decode(decoder, params_d, sd, sg(z_rec))
-                rec_fake, sd = decode(decoder, params_d, sd, sg(z_fake))
+                rec_rec, sd = dec_p(decoder, params_d, sd, sg(z_rec))
+                rec_fake, sd = dec_p(decoder, params_d, sd, sg(z_fake))
 
             loss_rec_rec = rec_term(h, sg(rec), rec_rec, reduction="mean",
                                     beta=h.gamma_r * h.beta_rec)
@@ -270,4 +287,5 @@ class IntroSolver(VAESolver):
             self.hyper, self.encoder, self.decoder,
             self.optimizer_e, self.optimizer_d,
             paired=self.fuse_passes,
+            remat_passes=self.remat_passes,
         )

@@ -131,7 +131,7 @@ def train_soft_intro_vae(config: Config):
         arch=config.arch, cdim=ch, zdim=config.z_dim,
         channels=tuple(channels), image_size=image_size, dtype=dtype,
         tile_rows=resolve_tile_rows(config.tile_rows, image_size),
-        remat=config.remat,
+        remat=config.remat in (True, "block"),
     )
     encoder = Encoder(**model_kwargs)
     # auto (-1) currently resolves to the plain conv: output-packing the
@@ -192,6 +192,7 @@ def train_soft_intro_vae(config: Config):
         fuse_passes=resolve_fuse_passes(
             config.fuse_passes, config.batch_size, n_total // mp
         ),
+        remat_passes=config.remat == "pass",
     )
 
     sample_shape = (1, image_size, image_size, ch)

@@ -118,3 +118,42 @@ def test_paired_step_matches_unpaired(solver_name):
         np.testing.assert_allclose(float(mA[k]), float(mB[k]), rtol=2e-4, atol=1e-5)
     assert _leaves_maxdiff(stA.params, stB.params) < 5e-4
     assert _leaves_maxdiff(stA.batch_stats, stB.batch_stats) < 5e-4
+
+
+@pytest.mark.parametrize("paired", [True, False])
+@pytest.mark.slow
+def test_remat_passes_matches_plain_step(paired):
+    """remat='pass' (jax.checkpoint around whole encode/decode passes,
+    solvers/intro.py) is a pure memory/scheduling transform: the backward
+    recomputes the same ops, so params and metrics must match the
+    un-checkpointed step."""
+    from intro_tc_vae_tpu.data import Synthetic
+    from intro_tc_vae_tpu.models import Decoder, Encoder
+    from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
+
+    def build(remat_passes):
+        ds = Synthetic(image_size=16, cdim=3, sizes=(2, 2, 4, 4))
+        kw = dict(cdim=3, zdim=8, channels=(4, 8), image_size=16)
+        return make_solver(
+            "intro", dataset=ds,
+            encoder=Encoder(arch="conv", **kw), decoder=Decoder(arch="conv", **kw),
+            batch_size=4,
+            optimizer_e=make_optimizer("adam", 2e-4),
+            optimizer_d=make_optimizer("adam", 2e-4),
+            beta_kl=0.5, beta_rec=0.75, beta_neg=64.0, gamma_r=1e-8,
+            fuse_passes=paired, remat_passes=remat_passes,
+        ), ds
+
+    sA, ds = build(False)
+    sB, _ = build(True)
+    batch0 = jnp.asarray(ds.get_batch(np.arange(4)))
+    stA = sA.init_state(jax.random.key(0), batch0)
+    stB = sB.init_state(jax.random.key(0), batch0)
+    for i in range(2):
+        b = jnp.asarray(ds.get_batch(np.arange(4 * i, 4 * i + 4) % len(ds)))
+        stA, mA = sA._step_fn(stA, b)
+        stB, mB = sB._step_fn(stB, b)
+    for k in ("loss_enc", "loss_dec", "loss_kl", "loss_rec", "expelbo_f"):
+        np.testing.assert_allclose(float(mA[k]), float(mB[k]), rtol=1e-6, atol=1e-8)
+    assert _leaves_maxdiff(stA.params, stB.params) < 1e-6
+    assert _leaves_maxdiff(stA.batch_stats, stB.batch_stats) < 1e-6
