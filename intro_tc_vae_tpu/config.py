@@ -52,6 +52,12 @@ class Config:
     # --- TPU-native extensions ---
     precision: str = "fp32"     # 'fp32' | 'bf16' compute dtype for the model
     tc_impl: str = "xla"        # 'xla' | 'blockwise' | 'pallas' TC kernel
+    tc_sampling: str = "stratified"  # 'stratified' (what the reference
+                                # executes, ops.py:84) | 'weighted' (the
+                                # minibatch-weighted estimator the
+                                # reference defines but never calls,
+                                # ops.py:92-101 — quirk Q11; exposed here
+                                # per SURVEY; xla impl only)
     kl_kind: Optional[str] = None  # override: 'gaussian' | 'tc' | 'tc_full'
     data_parallel: int = 0      # 0 = all local devices; N = mesh size
     model_parallel: int = 1     # tensor-parallel mesh axis size
@@ -69,7 +75,7 @@ class Config:
                                 # -1 = auto, which currently means 0 (plain
                                 # conv): packing measured slower in-context
                                 # at every resolution (BENCHMARKS.md)
-    remat: bool = False         # activation rematerialization:
+    remat: bool | str = False   # activation rematerialization:
                                 # true/"block" = jax.checkpoint per conv
                                 # block (~2x activation headroom, ~1 extra
                                 # forward of FLOPs); "pass" = checkpoint
@@ -142,4 +148,23 @@ def load_config(path: Optional[str] = None, update_dict: Optional[dict] = None) 
     unknown = set(c) - _FIELD_NAMES
     if unknown:
         raise ValueError(f"unknown config keys: {sorted(unknown)}")
-    return Config(**c)
+    return validate_config(Config(**c))
+
+
+def validate_config(config: Config) -> Config:
+    """Reject invalid enum-like values that would otherwise silently
+    disable features (e.g. remat='Block' matching neither branch)."""
+    if config.remat not in (False, True, "block", "pass"):
+        raise ValueError(
+            f"remat={config.remat!r}: expected False, True, 'block' or 'pass'"
+        )
+    if config.tc_sampling not in ("stratified", "weighted"):
+        raise ValueError(
+            f"tc_sampling={config.tc_sampling!r}: expected 'stratified' or 'weighted'"
+        )
+    if config.tc_sampling == "weighted" and config.tc_impl != "xla":
+        raise ValueError(
+            "tc_sampling='weighted' is only implemented for tc_impl='xla' "
+            "(the reference never runs it at all — quirk Q11)"
+        )
+    return config

@@ -51,7 +51,13 @@ def generate_factor_change_batch(
     latent_generator: LatentGenerator, encode_fn: EncodeFn, batch_size: int
 ) -> Tuple[np.ndarray, int]:
     """One (z_diff, y) training point for the beta-VAE metric
-    (reference utils.py:60-111)."""
+    (reference utils.py:60-111).
+
+    Quirk Q14 (PARITY.md): re-seeding RandomState(generator.seed) on every
+    call matches the reference exactly — with a non-None seed every batch
+    would pick the SAME factor_index and the score degenerates. Only use
+    seed=None (the shipped default) here.
+    """
     random_state = np.random.RandomState(latent_generator.seed)
     factor_index = random_state.randint(latent_generator.num_latents)
 

@@ -18,6 +18,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import dataclasses
 import random
 import time
 
@@ -59,6 +60,18 @@ def resolve_fuse_passes(fuse: bool | None, batch_size: int,
 
 def train_soft_intro_vae(config: Config):
     """Run one training job from a Config; returns the final TrainState."""
+    from intro_tc_vae_tpu.config import validate_config
+
+    validate_config(config)  # reject typo'd enum values before any work
+    if config.remat == "pass" and config.solver in ("vae", "tc"):
+        # pass-level remat only exists for the intro two-phase step; fall
+        # back to per-block remat rather than silently running without any
+        print(
+            f"remat='pass' has no pass structure in the '{config.solver}' "
+            "solver; falling back to per-block rematerialization"
+        )
+        config = dataclasses.replace(config, remat="block")
+
     # ----- seeding (reference train.py:38-44) -----
     seed = config.seed if config.seed != -1 else int(time.time()) % (2**31)
     random.seed(seed)
@@ -185,6 +198,7 @@ def train_soft_intro_vae(config: Config):
         test_iter=config.test_iter,
         clip=config.clip,
         tc_impl=config.tc_impl,
+        tc_sampling=config.tc_sampling,
         kl_kind=config.kl_kind,
         scan_steps=scan_steps,
         mesh=mesh,

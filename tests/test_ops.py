@@ -192,6 +192,68 @@ class TestTotalCorrelation:
         ).numpy()
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-3)
 
+    @pytest.mark.parametrize("reduce", ["mean", "none"])
+    def test_weighted_sampling_vs_torch_reference(self, rng, reduce):
+        """Golden test for quirk Q11's last corner: the minibatch-WEIGHTED
+        estimator the reference defines but never calls (ops.py:92-101),
+        exposed here via total_correlation(sampling='weighted') and the
+        tc_sampling config knob."""
+        b, zdim, n = 16, 10, 5000
+        z = rng.randn(b, zdim).astype(np.float32)
+        mu = rng.randn(b, zdim).astype(np.float32)
+        logvar = (rng.randn(b, zdim) * 0.5).astype(np.float32)
+
+        got = ops.total_correlation(
+            jnp.asarray(z), jnp.asarray(mu), jnp.asarray(logvar), n,
+            reduce=reduce, sampling="weighted",
+        )
+        # torch golden: reference minibatch_weighted_sampling verbatim math
+        log_qz_prob = torch_gaussian_log_density_nll(
+            torch.from_numpy(z).unsqueeze(1),
+            torch.from_numpy(mu).unsqueeze(0),
+            torch.from_numpy(logvar).unsqueeze(1),
+        )
+        log_bn = math.log(b * n)
+        prodmarg = (torch.logsumexp(log_qz_prob, dim=1) - log_bn).sum(dim=1)
+        log_qz = torch.logsumexp(log_qz_prob.sum(dim=2), dim=1) - log_bn
+        want = log_qz - prodmarg
+        if reduce == "mean":
+            want = want.mean()
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-3
+        )
+
+    def test_weighted_sampling_reaches_solver_via_config_knob(self, rng):
+        """tc_sampling='weighted' must flow Config -> SolverHyper -> kl_term
+        and change the computed TC term (vs stratified)."""
+        from intro_tc_vae_tpu.config import load_config
+        from intro_tc_vae_tpu.solvers.base import SolverHyper, kl_term
+
+        cfg = load_config(update_dict={
+            "solver": "tc", "dataset": "synthetic", "tc_sampling": "weighted",
+        })
+        assert cfg.tc_sampling == "weighted"
+        b, zdim, n = 16, 8, 5000
+        z = jnp.asarray(rng.randn(b, zdim).astype(np.float32))
+        mu = jnp.asarray(rng.randn(b, zdim).astype(np.float32))
+        logvar = jnp.asarray(rng.randn(b, zdim).astype(np.float32))
+        h_w = SolverHyper(kl_kind="tc", dataset_size=n, beta_kl=4.0,
+                          tc_sampling="weighted")
+        h_s = SolverHyper(kl_kind="tc", dataset_size=n, beta_kl=4.0)
+        loss_w, _ = kl_term(h_w, z, mu, logvar)
+        loss_s, _ = kl_term(h_s, z, mu, logvar)
+        assert np.isfinite(float(loss_w))
+        assert float(loss_w) != pytest.approx(float(loss_s))
+
+    def test_weighted_sampling_rejected_for_scaling_impls(self):
+        from intro_tc_vae_tpu.config import load_config
+
+        with pytest.raises(ValueError, match="weighted"):
+            load_config(update_dict={
+                "solver": "tc", "dataset": "synthetic",
+                "tc_sampling": "weighted", "tc_impl": "pallas",
+            })
+
     def test_identical_factorized_posteriors_give_small_tc(self, rng):
         # If q(z|x) is the same for all samples, log q(z) ~ log prod_l q(z_l).
         b, zdim = 8, 4

@@ -145,6 +145,32 @@ def test_load_config_unknown_key(tmp_path):
         load_config(str(p), {})
 
 
+def test_load_config_invalid_remat_value():
+    """A typo'd remat value must raise, not silently disable all remat
+    (round-3 advisor finding)."""
+    for bad in ("passes", "Block", "true"):
+        with pytest.raises(ValueError, match="remat"):
+            load_config(None, {"solver": "vae", "dataset": "synthetic",
+                               "remat": bad})
+    for ok in (False, True, "block", "pass"):
+        c = load_config(None, {"solver": "vae", "dataset": "synthetic",
+                               "remat": ok})
+        assert c.remat == ok
+
+
+def test_remat_pass_falls_back_to_block_for_single_phase_solver(tmp_path, capsys):
+    """remat='pass' has no pass structure in vae/tc; train must fall back to
+    per-block remat (with a printed notice) rather than silently run with
+    no rematerialization at all (round-3 advisor finding)."""
+    config = small_config(
+        tmp_path, dataset="synthetic", batch_size=8, remat="pass",
+        num_epochs=1, seed=7,
+    )
+    train_soft_intro_vae(config)
+    out = capsys.readouterr().out
+    assert "falling back to per-block rematerialization" in out
+
+
 def test_fingerprint_format():
     c = Config(solver="intro-tc", dataset="ukiyo_e64", z_dim=128,
                beta_kl=0.5, beta_neg=512.0, beta_rec=0.75)
