@@ -57,6 +57,7 @@ class SolverHyper:
     dataset_size: int = 1
     kl_kind: str = "gaussian"       # 'gaussian' | 'tc'
     tc_impl: str = "xla"            # 'xla' | 'pallas'
+    tc_sampling: str = "stratified" # 'stratified' | 'weighted' (quirk Q11)
     clip: Optional[float] = None
     zdim: int = 32
     # mesh for the global-batch sharded TC path (scaling impls only):
@@ -114,7 +115,7 @@ def kl_term(h: SolverHyper, z, mu, logvar, reduce: str = "mean", beta=None):
         return beta * kl, kl
     tc = ops.total_correlation(
         z, mu, logvar, h.dataset_size, reduce=reduce, impl=h.tc_impl,
-        mesh=h.tc_mesh,
+        sampling=h.tc_sampling, mesh=h.tc_mesh,
     )
     return (beta - 1.0) * tc + kl, kl
 
@@ -253,8 +254,12 @@ def _scan_steps(step_fn: Callable, k: int) -> Callable:
 
     The per-step launch/dispatch latency (significant for small batches:
     the intro step is ~13 small network passes) is paid once per k steps.
-    Input batch shape becomes [k, B, ...]; returned metrics are the LAST
-    step's (device-resident, like the unscanned step).
+    Input batch shape becomes [k, B, ...]; returned metrics are the
+    STACKED ``[k]`` tree lax.scan already produces — every inner step's
+    scalars survive (the reference logs each step,
+    solvers/vae.py:115-128). drain_metrics fans the k entries back out
+    to their own global_steps on the host side, so TensorBoard density
+    and NaN fail-fast latency are independent of k.
     """
 
     def scanned(state, batches):
@@ -262,8 +267,7 @@ def _scan_steps(step_fn: Callable, k: int) -> Callable:
             st, m = step_fn(st, b)
             return st, m
 
-        state, ms = jax.lax.scan(body, state, batches)
-        return state, jax.tree_util.tree_map(lambda v: v[-1], ms)
+        return jax.lax.scan(body, state, batches)
 
     return scanned
 
@@ -299,6 +303,7 @@ class VAESolver:
         test_iter: int = 1000,
         clip: Optional[float] = None,
         tc_impl: str = "xla",
+        tc_sampling: str = "stratified",
         kl_kind: Optional[str] = None,
         scan_steps: int = 1,
         mesh=None,
@@ -336,6 +341,7 @@ class VAESolver:
             dataset_size=len(dataset) if dataset is not None else 1,
             kl_kind=kl_kind or self.kl_kind,
             tc_impl=tc_impl,
+            tc_sampling=tc_sampling,
             clip=clip,
             zdim=encoder.zdim,
             # scaling TC impls compute the GLOBAL-batch estimate via
@@ -452,7 +458,18 @@ class VAESolver:
         drained = self._metric_ring[:n]
         self._metric_ring = self._metric_ring[n:]
         fetched = jax.device_get([m for m, _ in drained])
-        out = [(host, it) for host, (_, it) in zip(fetched, drained)]
+        if self.scan_steps > 1:
+            # scan_steps>1 buffers the stacked [K] metric tree per call;
+            # fan each call back out to K per-step dicts at consecutive
+            # global_steps (the train loop advances cur_iter by K per
+            # call), so no inner step's scalars are dropped.
+            out = [
+                ({k: v[j] for k, v in host.items()}, it + j)
+                for host, (_, it) in zip(fetched, drained)
+                for j in range(self.scan_steps)
+            ]
+        else:
+            out = [(host, it) for host, (_, it) in zip(fetched, drained)]
         if self.writer is not None:
             for host_metrics, it in out:
                 self._write_scalar_metrics(host_metrics, it)
