@@ -74,6 +74,20 @@ def compute_fid(
     return frechet_distance(mu_r, cov_r, mu_f, cov_f)
 
 
+def encoder_features(solver, state, images: np.ndarray,
+                     batch_size: int = 64) -> np.ndarray:
+    """Encoder-mean embeddings [N, zdim] of an image set (eval-mode BN).
+
+    Exposed so trend studies can embed many checkpoints' samples in ONE
+    fixed feature space (analysis/eval_config5_trend.py)."""
+    encode_fn = solver.make_eval_encoder(state)
+    feats = []
+    for start in range(0, len(images), batch_size):
+        mu, _ = encode_fn(images[start:start + batch_size])
+        feats.append(np.asarray(mu))
+    return np.concatenate(feats, axis=0)
+
+
 def encoder_fid(solver, state, real: np.ndarray, fake: np.ndarray,
                 batch_size: int = 64) -> float:
     """FID in the model's own encoder-mean feature space."""
