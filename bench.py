@@ -33,7 +33,7 @@ NORTH_STAR = 20000.0
 
 def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc",
          tc_impl="xla", iters=ITERS, scan=1, fuse=True, emit=True, tb=False,
-         pack=0, tile=0, remat=False):
+         pack=0, tile=0, remat=False, conv_impl="xla"):
     from intro_tc_vae_tpu.data import Synthetic
     from intro_tc_vae_tpu.models import Decoder, Encoder
     from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
@@ -53,7 +53,7 @@ def main(batch=BATCH, image_size=IMAGE_SIZE, arch="conv", solver_name="intro_tc"
 
     dataset = Synthetic(image_size=image_size, cdim=3, sizes=(4, 5, 8, 8))
     kwargs = dict(cdim=3, zdim=ZDIM, channels=channels, image_size=image_size,
-                  dtype=dtype, tile_rows=tile,
+                  dtype=dtype, tile_rows=tile, conv_impl=conv_impl,
                   remat=remat in (True, "block"))
     solver = make_solver(
         solver_name,
@@ -309,6 +309,8 @@ if __name__ == "__main__":
                     help="fuse K steps per dispatch (lax.scan)")
     ap.add_argument("--pack", type=int, default=0,
                     help="decoder pack_predict block size (0 = plain conv)")
+    ap.add_argument("--conv-impl", default="xla",
+                    help="3x3 conv impl: xla | pallas (ops/conv_pallas.py)")
     ap.add_argument("--tile", type=int, default=0,
                     help="strip-tile convs at >=2x this input height "
                          "(models/blocks.py::StripTiledConv; 0 = off)")
@@ -337,4 +339,5 @@ if __name__ == "__main__":
     else:
         main(a.batch, a.image_size, a.arch, a.solver, a.tc_impl, a.iters,
              a.scan, fuse=not a.no_fuse, tb=a.tb, pack=a.pack, tile=a.tile,
+             conv_impl=a.conv_impl,
              remat=a.remat)

@@ -83,6 +83,12 @@ class Config:
                                 # two-phase step (only each pass's in/out
                                 # tensors persist — the bigger memory lever
                                 # for large batches at 256px)
+    conv_impl: str = "auto"     # 3x3 conv execution: 'pallas' routes the
+                                # lane-starved 64->64 decoder convs through
+                                # the output-pair-packed Pallas kernel
+                                # (ops/conv_pallas.py); 'xla' keeps the
+                                # stock emitter everywhere; 'auto' resolves
+                                # per measured wins (train.py)
     tile_rows: int = -1         # strip-tile convs whose input height is
                                 # >= 2x this into H-strips stacked on the
                                 # batch axis (same math, better MXU
@@ -157,6 +163,10 @@ def validate_config(config: Config) -> Config:
     if config.remat not in (False, True, "block", "pass"):
         raise ValueError(
             f"remat={config.remat!r}: expected False, True, 'block' or 'pass'"
+        )
+    if config.conv_impl not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"conv_impl={config.conv_impl!r}: expected 'auto', 'xla' or 'pallas'"
         )
     if config.tc_sampling not in ("stratified", "weighted"):
         raise ValueError(

@@ -36,11 +36,17 @@ def leaky_relu(x):
 
 
 def conv(out_ch: int, kernel: int, *, use_bias: bool = False, in_ch: int | None = None,
-         dtype: Any = None, name: str | None = None, tile_rows: int = 0) -> nn.Module:
+         dtype: Any = None, name: str | None = None, tile_rows: int = 0,
+         impl: str = "xla") -> nn.Module:
     """3x3/5x5/1x1 'SAME' conv with torch-default init (stride 1).
 
     ``tile_rows > 0`` selects the strip-tiled execution for large spatial
-    inputs (StripTiledConv) — same params/math, batched-strip shape."""
+    inputs (StripTiledConv) — same params/math, batched-strip shape.
+    ``impl='pallas'`` routes eligible 3x3 convs (64 -> 64 channels, no
+    bias) through the output-pair-packed Pallas kernel
+    (ops/conv_pallas.py); ineligible shapes keep XLA's emitter."""
+    if impl == "pallas" and kernel == 3 and not use_bias and tile_rows == 0:
+        return PallasConv3x3(features=out_ch, dtype=dtype, name=name)
     if tile_rows > 0 and kernel > 1:
         return StripTiledConv(
             features=out_ch, kernel=kernel, tile_rows=tile_rows,
@@ -132,6 +138,41 @@ class StripTiledConv(nn.Module):
         if bias is not None:
             y = y + bias
         return y
+
+
+class PallasConv3x3(nn.Module):
+    """3x3 stride-1 'SAME' conv routed through the output-pair-packed
+    Pallas kernel (ops/conv_pallas.py) when the shape is eligible
+    (Cin = Cout = 64, H divisible by the row tile, W even) — the
+    lane-starved decoder shapes where XLA's emitter runs at 23-38% of
+    the chip's conv peak (BENCHMARKS.md per-layer roofline). Ineligible
+    shapes silently use the identical XLA conv, so the module is a safe
+    drop-in. Parameters live in ``nn.Conv``'s exact layout and names
+    (``kernel`` [3,3,in,out], torch-default init): checkpoints are
+    interchangeable with the plain conv."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        import jax as _jax
+
+        from intro_tc_vae_tpu.ops.conv_pallas import conv3x3_pallas, supported
+
+        kernel = self.param(
+            "kernel", torch_kernel_init("conv"),
+            (3, 3, x.shape[-1], self.features), jnp.float32,
+        )
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        if supported(x.shape, kernel.shape):
+            # compiled Mosaic on TPU; interpreter on CPU (tests/dryrun)
+            interpret = _jax.default_backend() != "tpu"
+            return conv3x3_pallas(x, kernel, None, interpret)
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class GroupedBatchNorm(nn.Module):
@@ -251,16 +292,17 @@ class ConvolutionalBlock(nn.Module):
     scale: float = 1.0
     dtype: Any = None
     tile_rows: int = 0
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = True, groups: int = 1):
         midc = int(self.outc * self.scale)
         y = conv(midc, 3, dtype=self.dtype, name="conv1",
-                 tile_rows=self.tile_rows)(x)
+                 tile_rows=self.tile_rows, impl=self.conv_impl)(x)
         y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="bn1")(y, groups)
         y = leaky_relu(y)
         y = conv(self.outc, 3, dtype=self.dtype, name="conv2",
-                 tile_rows=self.tile_rows)(y)
+                 tile_rows=self.tile_rows, impl=self.conv_impl)(y)
         y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="bn2")(y, groups)
         return leaky_relu(y)
 
@@ -278,6 +320,7 @@ class ResidualBlock(nn.Module):
     scale: float = 1.0
     dtype: Any = None
     tile_rows: int = 0
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = True, groups: int = 1):
@@ -287,11 +330,11 @@ class ResidualBlock(nn.Module):
         else:
             identity = x
         y = conv(midc, 3, dtype=self.dtype, name="conv1",
-                 tile_rows=self.tile_rows)(x)
+                 tile_rows=self.tile_rows, impl=self.conv_impl)(x)
         y = batch_norm(train, dtype=self.dtype, name="bn1")(y, groups)
         y = leaky_relu(y)
         y = conv(self.outc, 3, dtype=self.dtype, name="conv2",
-                 tile_rows=self.tile_rows)(y)
+                 tile_rows=self.tile_rows, impl=self.conv_impl)(y)
         y = batch_norm(train, dtype=self.dtype, name="bn2")(y, groups)
         return leaky_relu(y + identity)
 
@@ -323,6 +366,7 @@ class InceptionResnetBlock(nn.Module):
     scale: float = 1.0
     dtype: Any = None
     tile_rows: int = 0  # accepted for interface parity; 1x1 convs never tile
+    conv_impl: str = "xla"  # interface parity; 1x1 convs never route
 
     @nn.compact
     def __call__(self, x, train: bool = True, groups: int = 1):

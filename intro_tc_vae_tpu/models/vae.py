@@ -63,6 +63,16 @@ def resolve_tile_rows(tile_rows: int, image_size: int) -> int:
     return 0
 
 
+def resolve_conv_impl(conv_impl: str) -> str:
+    """Resolve the config ``conv_impl`` knob ('auto' -> concrete impl).
+
+    'auto' currently resolves to 'xla' pending the in-context win
+    measurement of the Pallas 3x3 kernel (BENCHMARKS.md)."""
+    if conv_impl == "auto":
+        return "xla"
+    return conv_impl
+
+
 def dense(features: int, fan_in: int, dtype: Any = None, name: str | None = None):
     return nn.Dense(
         features,
@@ -83,6 +93,8 @@ class Encoder(nn.Module):
     image_size: int = 256
     dtype: Any = None
     tile_rows: int = 0  # >0: strip-tile large-spatial convs (StripTiledConv)
+    conv_impl: str = "xla"  # 'pallas': route the lane-starved 3x3 64->64
+    #                         convs through ops/conv_pallas.py
     remat: bool = False  # rematerialize per-block: backward recomputes the
     #                      block's inner activations instead of keeping them
     #                      in HBM (jax.checkpoint via nn.remat) — trades
@@ -99,7 +111,7 @@ class Encoder(nn.Module):
         if self.remat:  # args: 0=module, 1=x, 2=train, 3=groups
             block = nn.remat(block, static_argnums=(2, 3))
         cc = self.channels[0]
-        tr = self.tile_rows
+        tr, ci = self.tile_rows, self.conv_impl
 
         y = conv(cc, 5, dtype=self.dtype, name="stem_conv", tile_rows=tr)(x)
         y = batch_norm(train, eps=1e-4, dtype=self.dtype, name="stem_bn")(y, groups)
@@ -109,12 +121,12 @@ class Encoder(nn.Module):
         sz = self.image_size // 2
         for i, ch in enumerate(self.channels[1:]):
             y = block(cc, ch, dtype=self.dtype, name=f"res_in_{sz}",
-                      tile_rows=tr)(y, train, groups)
+                      tile_rows=tr, conv_impl=ci)(y, train, groups)
             y = avg_pool2(y)
             cc, sz = ch, sz // 2
 
         y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}",
-                  tile_rows=tr)(y, train, groups)
+                  tile_rows=tr, conv_impl=ci)(y, train, groups)
 
         h, w, c = self.conv_output_size
         num_fc_features = h * w * c
@@ -139,6 +151,7 @@ class Decoder(nn.Module):
     #                        (PackedPredictConv) — same params/math, MXU-
     #                        friendly shape; 0 = plain conv
     tile_rows: int = 0  # >0: strip-tile large-spatial convs (StripTiledConv)
+    conv_impl: str = "xla"  # see Encoder.conv_impl
     remat: bool = False  # per-block rematerialization (see Encoder.remat)
 
     @nn.compact
@@ -149,7 +162,7 @@ class Decoder(nn.Module):
         cc = self.channels[-1]
         cis = self.conv_input_size or conv_output_size(self.image_size, self.channels)
         num_fc_features = cis[0] * cis[1] * cis[2]
-        tr = self.tile_rows
+        tr, ci = self.tile_rows, self.conv_impl
 
         z = z.reshape(z.shape[0], -1)
         y = dense(num_fc_features, self.zdim, dtype=self.dtype, name="fc")(z)
@@ -159,12 +172,12 @@ class Decoder(nn.Module):
         sz = cis[0]
         for ch in self.channels[::-1]:
             y = block(cc, ch, dtype=self.dtype, name=f"res_in_{sz}",
-                      tile_rows=tr)(y, train, groups)
+                      tile_rows=tr, conv_impl=ci)(y, train, groups)
             y = upsample_nearest2(y)
             cc, sz = ch, sz * 2
 
         y = block(cc, cc, dtype=self.dtype, name=f"res_in_{sz}",
-                  tile_rows=tr)(y, train, groups)
+                  tile_rows=tr, conv_impl=ci)(y, train, groups)
         if self.pack_predict > 1 and sz % self.pack_predict == 0:
             y = PackedPredictConv(cdim=self.cdim, in_ch=cc,
                                   block=self.pack_predict, dtype=self.dtype,
@@ -193,19 +206,21 @@ class SoftIntroVAE(nn.Module):
     dtype: Any = None
     pack_predict: int = 0
     tile_rows: int = 0
+    conv_impl: str = "xla"
     remat: bool = False
 
     def setup(self):
         self.encoder = Encoder(
             self.arch, self.cdim, self.zdim, self.channels, self.image_size,
-            dtype=self.dtype, tile_rows=self.tile_rows, remat=self.remat,
-            name="encoder",
+            dtype=self.dtype, tile_rows=self.tile_rows,
+            conv_impl=self.conv_impl, remat=self.remat, name="encoder",
         )
         self.decoder = Decoder(
             self.arch, self.cdim, self.zdim, self.channels, self.image_size,
             conv_input_size=conv_output_size(self.image_size, self.channels),
             dtype=self.dtype, pack_predict=self.pack_predict,
-            tile_rows=self.tile_rows, remat=self.remat, name="decoder",
+            tile_rows=self.tile_rows, conv_impl=self.conv_impl,
+            remat=self.remat, name="decoder",
         )
 
     def __call__(self, x: jax.Array, deterministic: bool = False, train: bool = True):

@@ -29,7 +29,11 @@ import numpy as np
 from intro_tc_vae_tpu.config import Config
 from intro_tc_vae_tpu.data import DeviceLoader, load_dataset
 from intro_tc_vae_tpu.models import Decoder, Encoder
-from intro_tc_vae_tpu.models.vae import num_params, resolve_tile_rows
+from intro_tc_vae_tpu.models.vae import (
+    num_params,
+    resolve_conv_impl,
+    resolve_tile_rows,
+)
 from intro_tc_vae_tpu.parallel import batch_sharding, make_mesh, shard_state
 from intro_tc_vae_tpu.solvers import make_optimizer, make_solver
 from intro_tc_vae_tpu.utils import (
@@ -144,6 +148,7 @@ def train_soft_intro_vae(config: Config):
         arch=config.arch, cdim=ch, zdim=config.z_dim,
         channels=tuple(channels), image_size=image_size, dtype=dtype,
         tile_rows=resolve_tile_rows(config.tile_rows, image_size),
+        conv_impl=resolve_conv_impl(config.conv_impl),
         remat=config.remat in (True, "block"),
     )
     encoder = Encoder(**model_kwargs)
