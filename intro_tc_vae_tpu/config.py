@@ -164,9 +164,10 @@ def validate_config(config: Config) -> Config:
         raise ValueError(
             f"remat={config.remat!r}: expected False, True, 'block' or 'pass'"
         )
-    if config.conv_impl not in ("auto", "xla", "pallas"):
+    if config.conv_impl not in ("auto", "xla", "pallas", "hybrid"):
         raise ValueError(
-            f"conv_impl={config.conv_impl!r}: expected 'auto', 'xla' or 'pallas'"
+            f"conv_impl={config.conv_impl!r}: expected 'auto', 'xla', "
+            "'pallas' or 'hybrid'"
         )
     if config.tc_sampling not in ("stratified", "weighted"):
         raise ValueError(

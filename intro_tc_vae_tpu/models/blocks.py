@@ -45,8 +45,10 @@ def conv(out_ch: int, kernel: int, *, use_bias: bool = False, in_ch: int | None 
     ``impl='pallas'`` routes eligible 3x3 convs (64 -> 64 channels, no
     bias) through the output-pair-packed Pallas kernel
     (ops/conv_pallas.py); ineligible shapes keep XLA's emitter."""
-    if impl == "pallas" and kernel == 3 and not use_bias and tile_rows == 0:
-        return PallasConv3x3(features=out_ch, dtype=dtype, name=name)
+    if impl in ("pallas", "hybrid") and kernel == 3 and not use_bias \
+            and tile_rows == 0:
+        return PallasConv3x3(features=out_ch, dtype=dtype, name=name,
+                             impl=impl)
     if tile_rows > 0 and kernel > 1:
         return StripTiledConv(
             features=out_ch, kernel=kernel, tile_rows=tile_rows,
@@ -153,12 +155,19 @@ class PallasConv3x3(nn.Module):
 
     features: int
     dtype: Any = None
+    impl: str = "pallas"  # 'pallas': Pallas fwd+bwd; 'hybrid': XLA fwd,
+    #                       Pallas bwd (the measured fastest split —
+    #                       ops/conv_pallas.py conv3x3_hybrid)
 
     @nn.compact
     def __call__(self, x):
         import jax as _jax
 
-        from intro_tc_vae_tpu.ops.conv_pallas import conv3x3_pallas, supported
+        from intro_tc_vae_tpu.ops.conv_pallas import (
+            conv3x3_hybrid,
+            conv3x3_pallas,
+            supported,
+        )
 
         kernel = self.param(
             "kernel", torch_kernel_init("conv"),
@@ -168,7 +177,8 @@ class PallasConv3x3(nn.Module):
         if supported(x.shape, kernel.shape):
             # compiled Mosaic on TPU; interpreter on CPU (tests/dryrun)
             interpret = _jax.default_backend() != "tpu"
-            return conv3x3_pallas(x, kernel, None, interpret)
+            fn = conv3x3_hybrid if self.impl == "hybrid" else conv3x3_pallas
+            return fn(x, kernel, None, interpret)
         return jax.lax.conv_general_dilated(
             x, kernel, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -374,3 +374,34 @@ def _vjp_bwd(tile_h, interpret, res, gy):
 
 
 conv3x3_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# hybrid: XLA forward + Pallas backward
+# --------------------------------------------------------------------------
+# Measured on the chip (analysis/bench_conv_kernel.py, K=200 chained):
+# at the flagship 64px shape XLA's *forward* emitter beats the Pallas
+# kernel (485 vs 551 us) while the Pallas *backward* (dx via the packed
+# forward kernel on rotated weights + the dWp accumulation kernel) beats
+# XLA's conv-grad pair by ~2.4x (225 vs 536 us). The best full step is
+# therefore the split: XLA computes y, the custom VJP computes dx/dW in
+# Pallas. Numerics are identical to conv3x3_pallas's backward.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3x3_hybrid(x: jax.Array, w: jax.Array, tile_h: int | None = None,
+                   interpret: bool = False) -> jax.Array:
+    """3x3 stride-1 SAME conv: XLA emitter forward, Pallas backward."""
+    del tile_h, interpret
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _hybrid_fwd(x, w, tile_h, interpret):
+    return conv3x3_hybrid(x, w, tile_h, interpret), (x, w)
+
+
+conv3x3_hybrid.defvjp(_hybrid_fwd, _vjp_bwd)

@@ -249,7 +249,11 @@ def train_soft_intro_vae(config: Config):
 
     try:
         for epoch in range(start_epoch, config.num_epochs):
-            if epoch % config.save_interval == 0 and epoch > 0:
+            # save_interval <= 0: no periodic checkpoints (the final
+            # checkpoint still saves) — the reference would divide by
+            # zero here (reference train.py:198)
+            if (config.save_interval > 0
+                    and epoch % config.save_interval == 0 and epoch > 0):
                 save_epoch = (epoch // config.save_interval) * config.save_interval
                 save_checkpoint(state, save_epoch, cur_iter, prefix,
                                 checkpoint_dir=config.checkpoint_dir,

@@ -10,6 +10,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from intro_tc_vae_tpu.ops.conv_pallas import (
     _rot_t,
+    conv3x3_hybrid,
     conv3x3_pallas,
     pack_weights,
     supported,
@@ -96,6 +97,31 @@ class TestBackward:
         np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x),
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_x),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_hybrid_matches_xla(self):
+        """conv3x3_hybrid: XLA forward must be exact; Pallas backward
+        (the same dx/dWp kernels as conv3x3_pallas) must match XLA's
+        conv grads — the measured-fastest split (BENCHMARKS)."""
+        x = _rand((2, 32, 8, 64), 11, 0.5)
+        w = _rand((3, 3, 64, 64), 12, 0.1)
+        cot = _rand((2, 32, 8, 64), 13)
+
+        def loss_hybrid(x, w):
+            return jnp.vdot(conv3x3_hybrid(x, w, 16, True), cot)
+
+        def loss_xla(x, w):
+            return jnp.vdot(_xla_conv(x, w), cot)
+
+        y = conv3x3_hybrid(x, w, 16, True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(_xla_conv(x, w)),
+                                   rtol=1e-5, atol=1e-5)
+        with pltpu.force_tpu_interpret_mode():
+            dx_h, dw_h = jax.grad(loss_hybrid, argnums=(0, 1))(x, w)
+        dx_x, dw_x = jax.grad(loss_xla, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dx_h), np.asarray(dx_x),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dw_h), np.asarray(dw_x),
                                    rtol=1e-4, atol=1e-4)
 
     def test_rot_t_is_input_grad_kernel(self):
