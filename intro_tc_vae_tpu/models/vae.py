@@ -66,8 +66,14 @@ def resolve_tile_rows(tile_rows: int, image_size: int) -> int:
 def resolve_conv_impl(conv_impl: str) -> str:
     """Resolve the config ``conv_impl`` knob ('auto' -> concrete impl).
 
-    'auto' currently resolves to 'xla' pending the in-context win
-    measurement of the Pallas 3x3 kernel (BENCHMARKS.md)."""
+    'auto' resolves to 'xla' — a measured decision, not a default: the
+    Pallas 3x3 kernel wins its shape in isolation (fwd+bwd 74.1 vs 56.2
+    TFLOP/s on-chip) but LOSES 38% end-to-end (b64 flagship 1,401 vs
+    2,271 img/s), because every pallas_call boundary forfeits XLA's
+    conv+BN-epilogue fusion and costs extra HBM round-trips worth more
+    than the lane-packing gain (BENCHMARKS.md "Pallas 3x3 conv:
+    measured on-chip"). 'pallas'/'hybrid' stay available as explicit
+    opt-ins for shapes/models without BN epilogues."""
     if conv_impl == "auto":
         return "xla"
     return conv_impl

@@ -379,13 +379,17 @@ conv3x3_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 # --------------------------------------------------------------------------
 # hybrid: XLA forward + Pallas backward
 # --------------------------------------------------------------------------
-# Measured on the chip (analysis/bench_conv_kernel.py, K=200 chained):
-# at the flagship 64px shape XLA's *forward* emitter beats the Pallas
-# kernel (485 vs 551 us) while the Pallas *backward* (dx via the packed
-# forward kernel on rotated weights + the dWp accumulation kernel) beats
-# XLA's conv-grad pair by ~2.4x (225 vs 536 us). The best full step is
-# therefore the split: XLA computes y, the custom VJP computes dx/dW in
-# Pallas. Numerics are identical to conv3x3_pallas's backward.
+# Measured on the chip (analysis/bench_conv_kernel.py, K=200 chained,
+# b64 64x64): XLA's *forward* emitter beats the Pallas kernel (411 vs
+# 566 us) while the full differentiated conv favors Pallas (fwd+bwd
+# 782 vs 1,032 us = 74.1 vs 56.2 TFLOP/s). The split this suggests
+# (XLA fwd + Pallas bwd) measures WORSE than either pure impl end-to-
+# end (1,246 us): mixing the impls inside one grad forces layout
+# round-trips between the XLA conv's preferred layout and the kernel's
+# row-major operands. And in the full flagship step even pure Pallas
+# loses 38% (BENCHMARKS.md "Pallas 3x3 conv: measured on-chip") — the
+# pallas_call boundary forfeits XLA's conv+BN-epilogue fusion. Both
+# impls are kept as explicit opt-ins; 'auto' stays on XLA.
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
