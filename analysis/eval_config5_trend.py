@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--dataset", default="synthetic128")
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--scan", type=int, default=10,
+                    help="train steps fused per dispatch (lax.scan). "
+                    "Individual dispatches leak ~15 MB of host RSS each "
+                    "through the axon tunnel client; a 10k-step run at "
+                    "--scan 1 hard-hung at ~74 GB RSS mid-training")
     ap.add_argument("--num-samples", type=int, default=640)
     ap.add_argument("--out", default=os.path.join(_REPO, "docs",
                                                   "eval_config5_trend"))
@@ -67,6 +72,10 @@ def main():
                              and jax.devices()[0].platform == "tpu") else None
     kwargs = dict(cdim=cdim, zdim=cfg["z_dim"], channels=tuple(channels),
                   image_size=image_size, dtype=dtype)
+    # clamp the fused-step width to the eval spacing so tiny smoke-test
+    # horizons still hit their exact eval checkpoints
+    scan_k = max(1, min(args.scan,
+                        args.steps // max(1, args.eval_points) or 1))
     solver = make_solver(
         cfg["solver"],
         dataset=dataset,
@@ -77,6 +86,7 @@ def main():
         optimizer_d=make_optimizer("adam", cfg["lr"]),
         beta_kl=cfg["beta_kl"], beta_rec=cfg["beta_rec"],
         beta_neg=cfg["beta_neg"], gamma_r=cfg["gamma_r"],
+        scan_steps=scan_k,
     )
 
     rng = np.random.RandomState(0)
@@ -121,30 +131,48 @@ def main():
     real = dataset.get_batch(rng.randint(n, size=args.num_samples))
     points, fakes_per_point = [], []
     metrics = None
+    k = scan_k
     step = 0
+    next_print = 500
     t0 = time.time()
+
+    def _last(m, key):
+        """Scalar of the LAST inner step from the stacked [k] metric tree
+        (k=1 trees are unstacked scalars)."""
+        v = np.asarray(m[key])
+        return float(v[-1]) if v.ndim else float(v)
+
     for target in eval_at:
         while step < target:
-            x = jnp.asarray(dataset.get_batch(rng.randint(n, size=args.batch)))
+            x = jnp.asarray(np.stack([
+                dataset.get_batch(rng.randint(n, size=args.batch))
+                for _ in range(k)
+            ])) if k > 1 else jnp.asarray(
+                dataset.get_batch(rng.randint(n, size=args.batch)))
             state, metrics = solver._step_fn(state, x)
-            step += 1
-            if step % 500 == 0:
+            step += k
+            if step >= next_print:
+                next_print += 500
                 print(f"step {step}/{args.steps} "
-                      f"lossE={float(metrics['loss_enc']):.4f} "
-                      f"rec={float(metrics['loss_rec']):.1f} "
+                      f"lossE={_last(metrics, 'loss_enc'):.4f} "
+                      f"rec={_last(metrics, 'loss_rec'):.1f} "
                       f"[{time.time()-t0:.0f}s]")
         point = {"step": step}
         if metrics is not None:
-            assert np.isfinite(float(metrics["loss_enc"]))
-            point["loss_rec"] = round(float(metrics["loss_rec"]), 2)
-            point["loss_enc"] = round(float(metrics["loss_enc"]), 4)
+            assert np.isfinite(_last(metrics, "loss_enc"))
+            point["loss_rec"] = round(_last(metrics, "loss_rec"), 2)
+            point["loss_enc"] = round(_last(metrics, "loss_enc"), 4)
         te = time.time()
         fakes_per_point.append(sample_prior(args.num_samples, seed=1000 + step))
         disentanglement(point)
         point["eval_seconds"] = round(time.time() - te, 1)
         points.append(point)
         print(f"eval @ {step}: " + json.dumps(
-            {k: v for k, v in point.items() if k != "step"}))
+            {kk: v for kk, v in point.items() if kk != "step"}))
+        # crash insurance: a 40+-minute run must not lose everything to
+        # a late failure — FID fields are appended by the final pass
+        with open(args.out + ".partial.json", "w") as f:
+            json.dump({"points": points, "through_step": step}, f, indent=2)
 
     # FID per checkpoint in the FINAL encoder's fixed feature space
     # (mu embeddings, eval-mode BN), so the trajectory is comparable.
